@@ -1,0 +1,51 @@
+"""Shape/structure tests for the YOLO-Fastest models.
+
+Mirrors the reference's module smoke test (``yolo_fastest.py:396-414``) but as
+real assertions.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolofastest_tpu.models import YoloFastest, YoloFastestLite
+from yolofastest_tpu.models.yolo_fastest import count_params
+
+
+@pytest.mark.parametrize("hw", [(256, 320), (512, 640)])
+def test_yolofastest_shapes(hw):
+    h, w = hw
+    model = YoloFastest(num_cls=3, num_anchors=3)
+    x = jnp.zeros((2, h, w, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    head_large, head_small = model.apply(variables, x, train=False)
+    assert head_large.shape == (2, h // 16, w // 16, 24)
+    assert head_small.shape == (2, h // 32, w // 32, 24)
+
+
+def test_param_count_matches_reference_checkpoint():
+    # The converted reference checkpoint has exactly this many parameters;
+    # any architecture drift changes the count.
+    model = YoloFastest(num_cls=3, num_anchors=3)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 320, 1)))
+    assert count_params(variables["params"]) == 332624
+
+
+def test_lite_single_head():
+    model = YoloFastestLite(num_cls=3, num_anchors=3)
+    x = jnp.zeros((1, 512, 640, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x, train=False)
+    # Reference lite head width carries a num_cls multiplication bug
+    # (yolo_fastest.py:240); ours is the intended A*(5+C).
+    assert out.shape == (1, 512 // 32, 640 // 32, 24)
+
+
+def test_train_mode_updates_batch_stats():
+    model = YoloFastest(num_cls=3, num_anchors=3)
+    x = jnp.ones((2, 64, 64, 1), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    _, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = variables["batch_stats"]["conv0"]["bn"]["mean"]
+    after = mutated["batch_stats"]["conv0"]["bn"]["mean"]
+    assert not jnp.allclose(before, after)
