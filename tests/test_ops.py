@@ -1,0 +1,126 @@
+"""Unit tests for the vectorised ops against simple reference implementations."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from yolofastest_tpu.ops import (
+    batched_nms,
+    bgr_to_gray,
+    box_iou_matrix,
+    downsample2x,
+    iou_pairwise,
+    normalize,
+    xywh2xyxy,
+    xyxy2xywh,
+)
+
+
+def _naive_iou(b1, b2):
+    """detect.py:28-39 semantics (no +1, no clamp-to-zero-then-multiply)."""
+    iw = min(b1[2], b2[2]) - max(b1[0], b2[0])
+    ih = min(b1[3], b2[3]) - max(b1[1], b2[1])
+    inter = iw * ih if (iw > 0 and ih > 0) else 0.0
+    union = (b1[2] - b1[0]) * (b1[3] - b1[1]) + (b2[2] - b2[0]) * (b2[3] - b2[1]) - inter
+    return inter / union
+
+
+def _naive_perclass_nms(rows, nms_thre, num_cls=3):
+    """detect.py:158-169 flow: split by class, sort by conf, greedy suppress."""
+    out = []
+    for c in range(num_cls):
+        lst = sorted([r for r in rows if r[6] == c], key=lambda r: -r[4])
+        while lst:
+            best = lst.pop(0)
+            out.append(best)
+            lst = [r for r in lst if _naive_iou(r, best) <= nms_thre]
+    return out
+
+
+def test_coord_roundtrip():
+    rng = np.random.RandomState(0)
+    xywh = rng.uniform(1, 100, (16, 4)).astype(np.float32)
+    back = xyxy2xywh(xywh2xyxy(jnp.asarray(xywh)))
+    np.testing.assert_allclose(np.asarray(back), xywh, rtol=1e-5, atol=1e-4)
+
+
+def test_iou_matches_naive():
+    rng = np.random.RandomState(1)
+    a = np.sort(rng.uniform(0, 100, (32, 2, 2)), axis=1).transpose(0, 2, 1).reshape(32, 4)
+    a = a[:, [0, 2, 1, 3]]  # (x1, x2, y1, y2) -> (x1, y1, x2, y2)
+    got = np.asarray(box_iou_matrix(jnp.asarray(a), jnp.asarray(a)))
+    for i in range(8):
+        for j in range(8):
+            assert abs(got[i, j] - _naive_iou(a[i], a[j])) < 1e-5
+
+
+def test_iou_plus_one_convention():
+    # utils/general.py:44-48 (+1 pixel on widths/heights)
+    a = jnp.asarray([[0.0, 0.0, 9.0, 9.0]])
+    got = float(iou_pairwise(a, a, pixel_offset=1.0)[0])
+    assert abs(got - 1.0) < 1e-6
+    b = jnp.asarray([[0.0, 0.0, 4.0, 9.0]])
+    got = float(iou_pairwise(a, b, pixel_offset=1.0)[0])
+    assert abs(got - 50.0 / 100.0) < 1e-6
+
+
+def test_batched_nms_matches_naive_perclass():
+    rng = np.random.RandomState(7)
+    k = 48
+    boxes, rows = [], []
+    for i in range(k):
+        x1, y1 = rng.uniform(0, 200, 2)
+        w, h = rng.uniform(10, 80, 2)
+        conf = rng.uniform(0.5, 1.0)
+        cls_score = rng.uniform(0.3, 1.0)
+        cls = rng.randint(0, 3)
+        boxes.append([x1, y1, x1 + w, y1 + h])
+        rows.append([x1, y1, x1 + w, y1 + h, conf, cls_score, cls])
+    boxes = np.array(boxes, np.float32)
+    conf = np.array([r[4] for r in rows], np.float32)
+    cls_score = np.array([r[5] for r in rows], np.float32)
+    cls_idx = np.array([r[6] for r in rows], np.int32)
+
+    order = np.argsort(-conf, kind="stable")  # decode guarantees conf-descending
+    out = batched_nms(
+        jnp.asarray(boxes[order][None]),
+        jnp.asarray(conf[order][None]),
+        jnp.asarray(cls_score[order][None]),
+        jnp.asarray(cls_idx[order][None]),
+        jnp.ones((1, k), bool),
+        iou_thre=0.2,
+        max_det=64,
+    )
+    kept = [
+        (round(float(out["boxes"][0, i, 0]), 3), round(float(out["conf"][0, i]), 5))
+        for i in range(64)
+        if out["valid"][0, i]
+    ]
+    naive = _naive_perclass_nms(rows, 0.2)
+    expected = sorted((round(r[0], 3), round(r[4], 5)) for r in naive)
+    assert sorted(kept) == expected
+
+
+def test_bgr_to_gray_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (64, 80, 3), np.uint8)
+    ours = np.asarray(bgr_to_gray(jnp.asarray(img)))
+    ref = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_downsample2x_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (128, 160), np.uint8)
+    ours = np.asarray(downsample2x(jnp.asarray(img)))
+    ref = cv2.resize(img, (80, 64), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_normalize():
+    img = jnp.asarray(np.array([[0, 128, 255]], np.uint8))
+    out = np.asarray(normalize(img))
+    np.testing.assert_allclose(out, [[-128 / 255, 0.0, 127 / 255]], atol=1e-6)

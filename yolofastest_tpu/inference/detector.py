@@ -1,0 +1,186 @@
+"""End-to-end detection pipeline: preprocess -> backbone -> decode -> NMS.
+
+Capability-equivalent of the reference's three inference front-ends —
+``Detect_YOLO`` on PC (``src/detect.py:87-192``), the C++ NCNN runtime
+(``ncnn_deploy/src/YOLO_ncnn.cpp:23-80``) and the RKNN NPU pipeline
+(``rknn_deploy.py:159-255``) — as **one** jitted XLA program.  Everything
+after image load runs on device; the only host work is cv2 file IO (and
+optionally preprocessing, for bit-parity with the reference's cv2 path).
+
+Two entry points:
+
+* :meth:`Detector.run` — normalised net-input batch -> detections (the core
+  jitted fn; used by tests, benchmarks and the evaluator).
+* :meth:`Detector.batch_detect` — directory-in, annotated-images-out with the
+  reference's per-image timing-log format (``detect.py:177-192``), so logs
+  diff against the committed ``test_result/*`` fixtures.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolofastest_tpu.configs import Config
+from yolofastest_tpu.models import YoloFastest, load_torch_checkpoint
+from yolofastest_tpu.ops import batched_nms, decode_heads, preprocess_device
+from yolofastest_tpu.utils.visualize import CLASS_COLORS, plot_one_box
+
+
+class Detector:
+    """YOLO-Fastest detector with a fully on-device pipeline.
+
+    Args:
+      config: framework config (anchors, thresholds, shapes).
+      variables: flax variables ({'params', 'batch_stats'}).  Alternatively
+        pass ``torch_checkpoint=`` to convert a reference ``.pth`` on the fly.
+      compute_dtype: jnp.float32 for parity, jnp.bfloat16 for speed.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        variables: Optional[Dict[str, Any]] = None,
+        torch_checkpoint: Optional[str] = None,
+        compute_dtype=jnp.float32,
+        logger=None,
+    ):
+        if variables is None:
+            if torch_checkpoint is None:
+                raise ValueError("need variables or torch_checkpoint")
+            variables = load_torch_checkpoint(torch_checkpoint)
+        self.config = config
+        self.variables = jax.tree.map(jnp.asarray, variables)
+        self.model = YoloFastest(
+            num_cls=config.io.num_cls,
+            num_anchors=config.io.num_anchors,
+            compute_dtype=compute_dtype,
+        )
+        self.logger = logger
+
+        io = config.io
+
+        @jax.jit
+        def _run(variables, images):
+            heads = self.model.apply(variables, images, train=False)
+            boxes, conf, cls_score, cls_idx, valid = decode_heads(
+                heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
+            )
+            return batched_nms(
+                boxes, conf, cls_score, cls_idx, valid,
+                iou_thre=io.nms_thre, max_det=io.max_det,
+            )
+
+        @jax.jit
+        def _run_raw(variables, bgr_batch):
+            images = preprocess_device(bgr_batch, io.input_hw, compute_dtype)
+            return _run(variables, images)
+
+        self._run = _run
+        self._run_raw = _run_raw
+
+    # ------------------------------------------------------------------ core
+    def run(self, images) -> Dict[str, jax.Array]:
+        """Detect on a normalised net-input batch (B, H, W, 1) float."""
+        return self._run(self.variables, images)
+
+    def run_raw(self, bgr_batch) -> Dict[str, jax.Array]:
+        """Detect on raw (B, H0, W0, 3) uint8 BGR frames — preprocessing
+        (gray, resize, normalise) fused on device."""
+        return self._run_raw(self.variables, bgr_batch)
+
+    # ------------------------------------------------------------- host utils
+    def preprocess_host(self, img_path: str):
+        """Reference-exact host preprocessing via cv2 (detect.py:107-129)."""
+        import cv2
+
+        io = self.config.io
+        ori = cv2.imread(img_path)
+        img = cv2.cvtColor(ori, cv2.COLOR_BGR2GRAY) if io.input_channels == 1 else ori
+        if img.shape[:2] != io.input_hw:
+            img = cv2.resize(img, (io.input_hw[1], io.input_hw[0]))
+        net_in = (img.astype(np.float32) - 128.0) / 255.0
+        return net_in[None, :, :, None], ori
+
+    def adjust_coords(self, boxes: np.ndarray) -> np.ndarray:
+        """Net-input coords -> original-image coords (detect.py:131-139)."""
+        io = self.config.io
+        scale_h = io.origin_img_shape[0] / io.input_shape[0]
+        scale_w = io.origin_img_shape[1] / io.input_shape[1]
+        out = boxes.astype(np.float64).copy()
+        out[..., [0, 2]] = np.round(out[..., [0, 2]] * scale_w)
+        out[..., [1, 3]] = np.round(out[..., [1, 3]] * scale_h)
+        return out
+
+    def batch_detect(self, data_path: str, result_path: str) -> float:
+        """Directory-in, annotated-results-out with reference-format timing
+        logs (detect.py:141-192).  Returns the average total time in ms."""
+        import cv2
+
+        os.makedirs(result_path, exist_ok=True)
+        io = self.config.io
+        names = sorted(f for f in os.listdir(data_path) if f.lower().endswith((".jpg", ".png", ".bmp")))
+        avg_time = 0.0
+        log = self.logger.info if self.logger else print
+
+        for filename in names:
+            net_in, ori = self.preprocess_host(os.path.join(data_path, filename))
+
+            start = time.time()
+            det = self.run(jnp.asarray(net_in))
+            det = jax.tree.map(np.asarray, det)  # block until done
+            infer_mark = time.time()
+            infer_time = (infer_mark - start) * 1e3
+
+            rows = detections_to_lists(det)[0]
+            post_time = (time.time() - infer_mark) * 1e3
+            total = infer_time + post_time
+            avg_time += total
+
+            if not rows:
+                cv2.imwrite(os.path.join(result_path, "result_" + filename), ori)
+                log("image_name:%s -> no targets, infer time:%.2fms, post_process time:%.2fms, total time:%.2fms"
+                    % (filename, infer_time, post_time, total))
+                continue
+
+            if io.input_shape[:2] != io.origin_img_shape[:2]:
+                for r in rows:
+                    r[:4] = self.adjust_coords(np.asarray(r[:4], np.float64))
+            for x1, y1, x2, y2, conf, cls_score, cls_idx in rows:
+                label = "%s %.2f" % (io.class_names[int(cls_idx)], conf * cls_score)
+                plot_one_box([x1, y1, x2, y2], ori,
+                             color=CLASS_COLORS[int(cls_idx) % len(CLASS_COLORS)],
+                             label=label, line_thickness=3)
+            cv2.imwrite(os.path.join(result_path, "result_" + filename), ori)
+            log("image_name:%s -> detect finished, infer time:%.2fms, post_process time:%.2fms, total time:%.2fms"
+                % (filename, infer_time, post_time, total))
+
+        avg = avg_time / max(len(names), 1)
+        log("detect avg_time: %.2fms" % avg)
+        return avg
+
+
+def detections_to_lists(det: Dict[str, np.ndarray]) -> List[List[List[float]]]:
+    """Fixed-size detection tensors -> per-image python lists
+    ``[x1, y1, x2, y2, conf, cls_score, cls_idx]`` (valid rows only)."""
+    det = jax.tree.map(np.asarray, det)
+    out: List[List[List[float]]] = []
+    for b in range(det["boxes"].shape[0]):
+        rows = []
+        for i in range(det["boxes"].shape[1]):
+            if not det["valid"][b, i]:
+                continue
+            x1, y1, x2, y2 = det["boxes"][b, i]
+            rows.append([
+                float(x1), float(y1), float(x2), float(y2),
+                float(det["conf"][b, i]), float(det["cls_score"][b, i]),
+                int(det["cls_idx"][b, i]),
+            ])
+        out.append(rows)
+    return out

@@ -1,0 +1,115 @@
+"""YOLO head decode — one fused, vectorised XLA computation.
+
+Replaces three generations of the reference's postprocess decode:
+
+* the pure-Python triple loop (``src/detect.py:41-67``),
+* the NumPy copy in the NPU pipeline (``rknn_deploy.py:85-153``),
+* the OpenMP C++ kernel (``ncnn_deploy/src/YOLO_ncnn.cpp:83-167``).
+
+Semantics follow ``detect.py`` (the reference's stated semantics oracle):
+
+* ``conf = sigmoid(t_obj)``; a candidate survives iff ``conf > conf_thre``
+* ``cls_idx = argmax(cls logits)``; ``cls_score = sigmoid(max logit)``
+* ``x = (j + sigmoid(tx)) * stride_w`` etc., ``w = exp(tw) * anchor_w``
+* box corners are rounded to integers (``detect.py:66`` uses Python
+  ``round`` = round-half-to-even, which ``jnp.round`` matches)
+
+Instead of an append-to-list (dynamic shape, jit-hostile), every candidate is
+scored and the top ``max_decode`` per image are kept via ``lax.top_k`` — the
+whole thing is a fixed-shape tensor program that XLA fuses into a few
+elementwise+reduce kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _decode_one_scale(head, anchors, input_hw):
+    """Decode one head (B, H, W, A*(5+C)) -> per-candidate tensors flattened
+    over (A, H, W)."""
+    b, h, w, _ = head.shape
+    na = len(anchors)
+    head = head.reshape(b, h, w, na, -1)  # channel = a*(5+C)+attr, NHWC == NCHW channel order
+    head = head.astype(jnp.float32)
+
+    stride_h = input_hw[0] / h
+    stride_w = input_hw[1] / w
+
+    tx, ty, tw, th, tobj = (head[..., i] for i in range(5))
+    cls_logits = head[..., 5:]
+
+    conf = jax.nn.sigmoid(tobj)  # (B,H,W,A)
+    cls_idx = jnp.argmax(cls_logits, axis=-1).astype(jnp.int32)
+    cls_score = jax.nn.sigmoid(jnp.max(cls_logits, axis=-1))
+
+    grid_x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)[None, :, :, None]
+    grid_y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)[None, :, :, None]
+    anchor_w = jnp.asarray([a[0] for a in anchors], jnp.float32)
+    anchor_h = jnp.asarray([a[1] for a in anchors], jnp.float32)
+
+    cx = (grid_x + jax.nn.sigmoid(tx)) * stride_w
+    cy = (grid_y + jax.nn.sigmoid(ty)) * stride_h
+    bw = jnp.exp(tw) * anchor_w  # anchors are in net-input pixels
+    bh = jnp.exp(th) * anchor_h
+
+    # Rounded corners (reference detect.py:66).
+    x1 = jnp.round(cx - bw / 2)
+    y1 = jnp.round(cy - bh / 2)
+    x2 = jnp.round(cx + bw / 2)
+    y2 = jnp.round(cy + bh / 2)
+    boxes = jnp.stack([x1, y1, x2, y2], axis=-1)  # (B,H,W,A,4)
+
+    n = h * w * na
+    return (
+        boxes.reshape(b, n, 4),
+        conf.reshape(b, n),
+        cls_score.reshape(b, n),
+        cls_idx.reshape(b, n),
+    )
+
+
+def decode_heads(
+    heads: Sequence[jax.Array],
+    anchors: Sequence[Sequence[Tuple[float, float]]],
+    input_hw: Tuple[int, int],
+    conf_thre: float,
+    max_decode: int = 128,
+):
+    """Decode all scales and keep the top ``max_decode`` candidates per image.
+
+    Args:
+      heads: per-scale raw outputs, NHWC ``(B, H_s, W_s, A*(5+C))``.
+      anchors: per-scale anchor (w, h) lists in net-input pixels.
+      input_hw: network input (H, W).
+      conf_thre: objectness gate (strictly greater, reference detect.py:58).
+      max_decode: static K for the jittable top-k.
+
+    Returns:
+      boxes (B,K,4) float32 xyxy in net-input coords (rounded),
+      conf (B,K), cls_score (B,K), cls_idx (B,K) int32, valid (B,K) bool.
+      Sorted by conf descending (lax.top_k order).
+    """
+    parts = [
+        _decode_one_scale(h, a, input_hw) for h, a in zip(heads, anchors)
+    ]
+    boxes = jnp.concatenate([p[0] for p in parts], axis=1)
+    conf = jnp.concatenate([p[1] for p in parts], axis=1)
+    cls_score = jnp.concatenate([p[2] for p in parts], axis=1)
+    cls_idx = jnp.concatenate([p[3] for p in parts], axis=1)
+
+    valid = conf > conf_thre
+    k = min(max_decode, conf.shape[1])
+    gated = jnp.where(valid, conf, -1.0)
+    top_conf, top_i = jax.lax.top_k(gated, k)  # descending, stable over index
+    take = jax.vmap(lambda a, i: a[i])
+    return (
+        take(boxes, top_i),
+        take(conf, top_i),
+        take(cls_score, top_i),
+        take(cls_idx, top_i),
+        top_conf > conf_thre,
+    )

@@ -1,0 +1,87 @@
+"""Class-aware greedy NMS with fixed shapes — fully jittable, batched.
+
+Replaces the reference's three NMS implementations (Python list-pop
+``detect.py:69-84``, torch per-class loop ``utils/general.py:87-143``, and the
+recursive-quicksort C++ ``YOLO_ncnn.cpp:169-219``) with one O(K^2)
+masked-matrix formulation that runs entirely on device.
+
+Per-class greedy NMS over conf-descending order is exactly equivalent to the
+reference's "split by class, sort each, suppress within class" flow: classes
+never interact, and within a class the visit order is the same (stable sort).
+
+The greedy dependency ("a box only suppresses if it itself survived") is a
+sequential chain, expressed as a K-step ``lax.fori_loop`` over vectorised
+row updates — K is small (<=128), so this costs microseconds on the VPU and
+keeps the *entire* detect path on-chip with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from yolofastest_tpu.ops.boxes import box_iou_matrix
+
+
+def nms_keep_mask(boxes, conf, cls_idx, valid, iou_thre: float,
+                  pixel_offset: float = 0.0):
+    """Greedy class-aware keep mask for one image.
+
+    Candidates must already be conf-descending (decode's top_k guarantees
+    this).  ``iou > iou_thre`` with the same class suppresses (strict,
+    reference detect.py:79).
+    """
+    k = boxes.shape[0]
+    iou = box_iou_matrix(boxes, boxes, pixel_offset=pixel_offset)  # (K, K)
+    same_class = cls_idx[:, None] == cls_idx[None, :]
+    upper = jnp.triu(jnp.ones((k, k), bool), 1)  # earlier (higher conf) -> later
+    suppress = (iou > iou_thre) & same_class & upper & valid[:, None]
+
+    def body(i, keep):
+        # candidate i removes later ones only if it itself survived
+        return keep & ~(suppress[i] & keep[i])
+
+    return jax.lax.fori_loop(0, k, body, valid)
+
+
+def _nms_single(boxes, conf, cls_score, cls_idx, valid, iou_thre, max_det,
+                pixel_offset):
+    keep = nms_keep_mask(boxes, conf, cls_idx, valid, iou_thre, pixel_offset)
+    # Compact: kept detections first (stable keeps conf-descending order).
+    order = jnp.argsort(~keep, stable=True)
+    sel = order[:max_det]
+    return (
+        boxes[sel],
+        conf[sel],
+        cls_score[sel],
+        cls_idx[sel],
+        keep[sel],
+        jnp.sum(keep.astype(jnp.int32)).clip(0, max_det),
+    )
+
+
+def batched_nms(boxes, conf, cls_score, cls_idx, valid, iou_thre: float,
+                max_det: int = 64, pixel_offset: float = 0.0) -> Dict[str, jax.Array]:
+    """Batched class-aware NMS.
+
+    Args:
+      boxes: (B, K, 4) xyxy, conf-descending per image.
+      conf: (B, K) objectness; cls_score: (B, K); cls_idx: (B, K) int32.
+      valid: (B, K) bool candidate mask.
+      iou_thre: suppression threshold.
+      max_det: static output size per image.
+      pixel_offset: IOU convention (0 = detect.py NMS, 1 = training utils).
+
+    Returns:
+      dict with ``boxes`` (B,max_det,4), ``conf``, ``cls_score``, ``cls_idx``,
+      ``valid`` (B,max_det) and ``count`` (B,) — conf-descending, valid first.
+    """
+    out = jax.vmap(
+        lambda b, c, s, ci, v: _nms_single(
+            b, c, s, ci, v, iou_thre, max_det, pixel_offset
+        )
+    )(boxes, conf, cls_score, cls_idx, valid)
+    keys = ("boxes", "conf", "cls_score", "cls_idx", "valid", "count")
+    return dict(zip(keys, out))
