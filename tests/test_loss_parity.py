@@ -1,0 +1,92 @@
+"""Loss parity vs the reference ``YOLOLossV3`` on a recorded synthetic batch.
+
+Golden fixture (``tests/fixtures/golden_loss.npz``, made by
+``tools/make_fixtures.py``) stores the reference's 7 loss numbers per scale
+(total, x, y, w, h, conf, cls) and its inference-mode decode output on the
+same heads, both computed with the 256x320 anchor groups.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolofastest_tpu.configs import get_config
+from yolofastest_tpu.losses import decode_for_eval, total_loss, yolo_loss
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return np.load(os.path.join(FIXTURES, "golden_loss.npz"))
+
+
+def _nhwc(head_nchw):
+    # reference heads are NCHW with channel = a*(5+C)+attr; NHWC keeps that
+    # channel order in the last axis.
+    return np.transpose(head_nchw, (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("scale", [0, 1])
+def test_loss_matches_reference(golden, scale):
+    cfg = get_config("256x320")
+    head = _nhwc(golden[f"head{scale}"])
+    targets = golden["targets"]
+    ref = golden[f"scale{scale}"]  # [total, x, y, w, h, conf, cls]
+
+    tot, comps = yolo_loss(
+        jnp.asarray(head),
+        jnp.asarray(targets),
+        cfg.io.anchors[scale],
+        cfg.io.input_hw,
+        ignore_thre=cfg.train.iou_loss_thre,
+        num_cls=cfg.io.num_cls,
+    )
+    got = np.array(
+        [tot, comps["x"], comps["y"], comps["w"], comps["h"], comps["conf"], comps["cls"]]
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_total_loss_sums_scales(golden):
+    cfg = get_config("256x320")
+    heads = [jnp.asarray(_nhwc(golden["head0"])), jnp.asarray(_nhwc(golden["head1"]))]
+    tot, comps = total_loss(
+        heads, jnp.asarray(golden["targets"]), cfg.io.anchors, cfg.io.input_hw,
+        ignore_thre=cfg.train.iou_loss_thre, num_cls=cfg.io.num_cls,
+    )
+    ref = golden["scale0"][0] + golden["scale1"][0]
+    np.testing.assert_allclose(float(tot), ref, rtol=2e-5)
+    assert set(comps) == {"x", "y", "w", "h", "conf", "cls", "total"}
+
+
+@pytest.mark.parametrize("scale", [0, 1])
+def test_decode_for_eval_matches_reference(golden, scale):
+    cfg = get_config("256x320")
+    head = _nhwc(golden[f"head{scale}"])
+    got = np.asarray(
+        decode_for_eval(jnp.asarray(head), cfg.io.anchors[scale], cfg.io.input_hw)
+    )
+    ref = golden[f"decode{scale}"]  # (B, A*H*W, 5+C)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_loss_is_differentiable(golden):
+    import jax
+
+    cfg = get_config("256x320")
+    head = jnp.asarray(_nhwc(golden["head0"]))
+    targets = jnp.asarray(golden["targets"])
+
+    def f(h):
+        return yolo_loss(
+            h, targets, cfg.io.anchors[0], cfg.io.input_hw,
+            cfg.train.iou_loss_thre, cfg.io.num_cls,
+        )[0]
+
+    g = jax.grad(f)(head)
+    assert g.shape == head.shape
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0
