@@ -1,0 +1,173 @@
+"""End-to-end training: synthetic VOC dataset -> sharded train steps ->
+loss decreases -> mAP eval runs -> checkpoint round-trips.
+
+The reference has no training tests at all (SURVEY.md §4); its quality bar is
+"the committed train_info.log shows mAP rising".  These tests make that an
+automated check on a fabricated dataset of bright rectangles on dark noise.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from yolofastest_tpu.configs import Config, IOConfig, get_config
+from yolofastest_tpu.data import DetectionLoader, VOCIndex, write_voc_xml
+from yolofastest_tpu.eval import MAPEvaluator, average_precision
+from yolofastest_tpu.train import Trainer, make_lr_schedule
+
+ANCHORS_SMALL = (
+    ((10.0, 13.0), (16.0, 30.0), (33.0, 23.0)),
+    ((60.0, 40.0), (50.0, 50.0), (40.0, 60.0)),
+)
+
+
+def tiny_config(tmp_path=None) -> Config:
+    io = IOConfig(
+        input_shape=(64, 96, 1),
+        origin_img_shape=(128, 192, 3),
+        anchors=ANCHORS_SMALL,
+        conf_thre=0.3,
+    )
+    return Config(io=io)
+
+
+def make_dataset(root, n_images, config, seed=0):
+    """Bright rectangles (one per class) on dark noise, VOC layout."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "img"), exist_ok=True)
+    os.makedirs(os.path.join(root, "xml"), exist_ok=True)
+    h0, w0, _ = config.io.origin_img_shape
+    names = config.io.class_names
+    for i in range(n_images):
+        img = rng.integers(0, 40, (h0, w0, 3), np.uint8)
+        boxes = []
+        for _ in range(rng.integers(1, 3)):
+            cls = int(rng.integers(0, len(names)))
+            bw, bh = int(rng.integers(20, 60)), int(rng.integers(20, 50))
+            x1 = int(rng.integers(0, w0 - bw))
+            y1 = int(rng.integers(0, h0 - bh))
+            shade = 120 + 60 * cls
+            img[y1 : y1 + bh, x1 : x1 + bw] = shade
+            boxes.append((names[cls], x1, y1, x1 + bw, y1 + bh))
+        stem = f"im_{i:04d}"
+        cv2.imwrite(os.path.join(root, "img", stem + ".jpg"), img)
+        write_voc_xml(os.path.join(root, "xml", stem + ".xml"), stem + ".jpg",
+                      (h0, w0), boxes)
+
+
+def test_lr_schedule_matches_reference_formula():
+    lr0, E, bpe = 1e-3, 30, 500
+    sched = make_lr_schedule(lr0, E, bpe, warmup_min_iters=1000)
+    num_warm = max(3 * bpe, 1000)
+
+    def ref(it):
+        e = it // bpe
+        lf = ((1 + math.cos(e * math.pi / E)) / 2) * 0.8 + 0.2
+        return lr0 * lf * min(it / num_warm, 1.0)
+
+    for it in [0, 1, 100, 1499, 1500, 1501, 5000, 14999]:
+        np.testing.assert_allclose(float(sched(it)), ref(it), rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    cfg = tiny_config()
+    root = tmp_path_factory.mktemp("voc")
+    make_dataset(str(root), 16, cfg)
+    return str(root), cfg
+
+
+def test_loader_shapes_and_format(dataset):
+    root, cfg = dataset
+    idx = VOCIndex(root, cfg.io.class_names)
+    assert len(idx) == 16
+    loader = DetectionLoader(idx, cfg, batch_size=8, seed=1)
+    imgs, tgts = next(iter(loader))
+    assert imgs.shape == (8, 64, 96, 1)
+    assert tgts.shape == (8, cfg.train.max_boxes, 6)
+    valid = tgts[tgts[:, :, 5] == 255.0]
+    assert len(valid) > 0
+    # normalised coords in [0, 1], normalised pixels in [-0.502, 0.499]
+    assert np.all((valid[:, :4] >= 0) & (valid[:, :4] <= 1))
+    assert imgs.min() >= -128.0 / 255.0 - 1e-6 and imgs.max() <= 127.0 / 255.0 + 1e-6
+
+
+def test_train_loss_decreases_and_eval_runs(dataset, tmp_path):
+    root, cfg = dataset
+    idx = VOCIndex(root, cfg.io.class_names)
+    loader = DetectionLoader(idx, cfg, batch_size=8, seed=2)
+
+    trainer = Trainer(cfg, batch_per_epoch=len(loader), seed=0)
+    losses = []
+    for _ in range(3):  # 3 mini-epochs of 2 steps
+        for imgs, tgts in loader:
+            m = trainer.step(imgs, tgts)
+            losses.append(float(m["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # warmup LR ramps but loss must still drop
+
+    val_loader = DetectionLoader(idx, cfg, batch_size=8, augment=False, shuffle=False)
+    evaluator = MAPEvaluator(cfg, val_loader)
+    mAP = evaluator(trainer.variables, epoch=0)
+    assert 0.0 <= mAP <= 1.0
+
+
+def test_checkpoint_roundtrip(dataset, tmp_path):
+    import jax
+
+    root, cfg = dataset
+    idx = VOCIndex(root, cfg.io.class_names)
+    loader = DetectionLoader(idx, cfg, batch_size=8, seed=3)
+    trainer = Trainer(cfg, batch_per_epoch=len(loader), seed=0)
+    imgs, tgts = next(iter(loader))
+    trainer.step(imgs, tgts)
+    path = trainer.save_checkpoint(str(tmp_path), epoch=0)
+
+    trainer2 = Trainer(cfg, batch_per_epoch=len(loader), seed=42)
+    trainer2.restore_checkpoint(path)
+    assert int(trainer2.state.step) == 1
+    for a, b in zip(
+        jax.tree.leaves(trainer.state.params), jax.tree.leaves(trainer2.state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (the reference loses it, SURVEY.md §5)
+    for a, b in zip(
+        jax.tree.leaves(trainer.state.opt_state),
+        jax.tree.leaves(trainer2.state.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_average_precision_known_values():
+    # 3 GT, detections: TP conf .9, FP conf .8, TP conf .7
+    confs = np.array([0.9, 0.8, 0.7])
+    is_tp = np.array([True, False, True])
+    # PR points: (1, 1/3), (.5, 1/3), (2/3, 2/3)
+    # AP = 1/3 * 1 + (2/3 - 1/3) * 2/3 = 0.5555...
+    ap = average_precision(confs, is_tp, n_gt=3)
+    np.testing.assert_allclose(ap, 1 / 3 + (1 / 3) * (2 / 3), rtol=1e-9)
+    assert average_precision(confs, is_tp, n_gt=0) == 0.0
+    assert average_precision(np.array([]), np.array([], bool), 3) == 0.0
+
+
+def test_data_parallel_sharding_runs():
+    """The train step must compile and run sharded over an 8-device mesh."""
+    import jax
+    from jax.sharding import Mesh
+
+    cfg = tiny_config()
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("data",))
+    trainer = Trainer(cfg, mesh=mesh, batch_per_epoch=10, seed=0)
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((8, 64, 96, 1), np.float32) * 0.2
+    tgts = np.zeros((8, cfg.train.max_boxes, 6), np.float32)
+    tgts[:, 0] = [0.5, 0.5, 0.25, 0.25, 1, 255.0]
+    m1 = trainer.step(imgs, tgts)
+    m2 = trainer.step(imgs, tgts)
+    assert np.isfinite(float(m1["total"])) and np.isfinite(float(m2["total"]))
+    assert int(trainer.state.step) == 2

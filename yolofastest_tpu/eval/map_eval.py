@@ -1,0 +1,189 @@
+"""mAP validation — device-side decode+NMS, vectorised host matching.
+
+Capability-equivalent of the reference ``Validation``
+(``src/model_training/validate.py:8-139``): per-epoch mAP at IOU 0.5 with
+greedy pred/GT matching and all-point interpolated AP.
+
+TPU-first split: the per-image work the reference does on host in Python
+(decode, confidence gate, per-class NMS — ``validate.py:40-44``) runs as one
+jitted XLA program over the whole batch; only the final greedy matching and
+the PR sweep (tiny, O(detections)) stay on host in vectorised NumPy.
+
+Documented divergences from the reference (SURVEY.md §7 "bugs to NOT
+replicate"):
+
+* a prediction is matched to the **best**-IOU unmatched GT, not the first one
+  above threshold in array order (``validate.py:67-72`` admits its own flaw);
+* ``iou > thre`` suppression in NMS vs the reference's ``>=`` removal — both
+  differ only at exact threshold equality.
+
+IOU uses the reference's +1-pixel convention (``utils/general.py:44-48``) in
+both NMS and matching so numbers stay comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolofastest_tpu.configs import Config
+from yolofastest_tpu.losses import decode_for_eval
+from yolofastest_tpu.models import YoloFastest
+from yolofastest_tpu.ops import batched_nms
+
+
+def make_eval_fn(model: YoloFastest, config: Config):
+    """Jitted (variables, images) -> fixed-size detection dict.
+
+    Decode follows the validation path (``YOLOLossV3`` inference mode,
+    float boxes, no rounding) — not the PC-detect path's integer rounding.
+    """
+    io = config.io
+
+    @jax.jit
+    def eval_fn(variables, imgs):
+        heads = model.apply(variables, imgs, train=False)
+        dec = jnp.concatenate(
+            [decode_for_eval(h, a, io.input_hw) for h, a in zip(heads, io.anchors)],
+            axis=1,
+        )  # (B, N, 5+C): xc, yc, w, h, conf, cls...
+        xc, yc, bw, bh = (dec[..., i] for i in range(4))
+        conf = dec[..., 4]
+        boxes = jnp.stack(
+            [xc - bw / 2, yc - bh / 2, xc + bw / 2, yc + bh / 2], axis=-1
+        )
+        cls_score = jnp.max(dec[..., 5:], axis=-1)
+        cls_idx = jnp.argmax(dec[..., 5:], axis=-1).astype(jnp.int32)
+
+        valid = conf >= io.conf_thre  # validate NMS gate (general.py:100)
+        k = min(io.max_decode, conf.shape[1])
+        gated = jnp.where(valid, conf, -1.0)
+        top_conf, top_i = jax.lax.top_k(gated, k)
+        take = jax.vmap(lambda a, i: a[i])
+        return batched_nms(
+            take(boxes, top_i),
+            take(conf, top_i),
+            take(cls_score, top_i),
+            take(cls_idx, top_i),
+            top_conf >= io.conf_thre,
+            iou_thre=io.nms_thre,
+            max_det=io.max_det,
+            pixel_offset=1.0,  # training-utils IOU convention
+        )
+
+    return eval_fn
+
+
+def _iou_p1(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """+1-pixel IOU of one box vs (N, 4) boxes (utils/general.py:29-52)."""
+    x1 = np.maximum(box[0], boxes[:, 0])
+    y1 = np.maximum(box[1], boxes[:, 1])
+    x2 = np.minimum(box[2], boxes[:, 2])
+    y2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.clip(x2 - x1 + 1, 0, None) * np.clip(y2 - y1 + 1, 0, None)
+    a1 = (box[2] - box[0] + 1) * (box[3] - box[1] + 1)
+    a2 = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    return inter / (a1 + a2 - inter + 1e-16)
+
+
+def average_precision(confs: np.ndarray, is_tp: np.ndarray, n_gt: int) -> float:
+    """All-point interpolated AP (reference ``__calculate_AP``,
+    ``validate.py:91-122``): sort by conf desc, sweep PR points, area =
+    sum (r_i - r_{i-1}) * max(precision[i:])."""
+    if n_gt <= 0 or confs.size == 0:
+        return 0.0
+    order = np.argsort(-confs, kind="stable")
+    tp = np.cumsum(is_tp[order])
+    fp = np.cumsum(~is_tp[order])
+    recall = tp / n_gt
+    precision = tp / (tp + fp)
+    # max precision over [i:] == reverse running max
+    max_future = np.maximum.accumulate(precision[::-1])[::-1]
+    prev_r = np.concatenate([[0.0], recall[:-1]])
+    return float(np.sum((recall - prev_r) * max_future))
+
+
+class MAPEvaluator:
+    """Run the val set, match detections to GT, report per-class AP + mAP.
+
+    Call as ``evaluator(variables, epoch)`` (the validator hook
+    :meth:`Trainer.fit` expects); logs the reference's exact line format
+    (``validate.py:80-87``).
+    """
+
+    def __init__(self, config: Config, loader, model: Optional[YoloFastest] = None,
+                 logger=None):
+        self.config = config
+        self.loader = loader
+        self.logger = logger
+        self.model = model or YoloFastest(
+            num_cls=config.io.num_cls, num_anchors=config.io.num_anchors
+        )
+        self.eval_fn = make_eval_fn(self.model, config)
+
+    def __call__(self, variables, epoch: int = 0) -> float:
+        io = self.config.io
+        iou_thre = self.config.train.iou_val_thre
+        num_cls = io.num_cls
+        h, w = io.input_hw
+        target_num = np.zeros(num_cls, np.int64)
+        matches: List[List[Tuple[float, bool]]] = [[] for _ in range(num_cls)]
+
+        for imgs, targets in self.loader:
+            det = self.eval_fn(variables, jnp.asarray(imgs))
+            det = jax.tree.map(np.asarray, det)
+
+            for b in range(imgs.shape[0]):
+                gt = targets[b]
+                gt = gt[gt[:, 5] > 1]  # valid rows (validate.py:48)
+                gt_xyxy = np.stack(
+                    [
+                        (gt[:, 0] - gt[:, 2] / 2) * w,
+                        (gt[:, 1] - gt[:, 3] / 2) * h,
+                        (gt[:, 0] + gt[:, 2] / 2) * w,
+                        (gt[:, 1] + gt[:, 3] / 2) * h,
+                    ],
+                    axis=1,
+                ) if len(gt) else np.zeros((0, 4), np.float32)
+                gt_cls = gt[:, 4].astype(np.int32)
+                for c in gt_cls:
+                    target_num[c] += 1
+
+                n_det = int(det["count"][b])
+                for i in range(n_det):
+                    c = int(det["cls_idx"][b, i])
+                    conf = float(det["conf"][b, i])
+                    cand = np.where(gt_cls == c)[0]
+                    if cand.size == 0:
+                        matches[c].append((conf, False))
+                        continue
+                    ious = _iou_p1(det["boxes"][b, i], gt_xyxy[cand])
+                    j = int(np.argmax(ious))  # best unmatched GT (divergence, see module doc)
+                    if ious[j] > iou_thre:
+                        matches[c].append((conf, True))
+                        keep = np.ones(len(gt_cls), bool)
+                        keep[cand[j]] = False
+                        gt_xyxy, gt_cls = gt_xyxy[keep], gt_cls[keep]
+                    else:
+                        matches[c].append((conf, False))
+
+        log = self.logger.info if self.logger else print
+        log("—————— epoch: %d validation results —————" % epoch)
+        mAP = 0.0
+        for c in range(num_cls):
+            m = matches[c]
+            ap = average_precision(
+                np.array([x[0] for x in m], np.float64),
+                np.array([x[1] for x in m], bool),
+                int(target_num[c]),
+            )
+            log("class: %s, target_num = %d, AP = %.3f"
+                % (io.class_names[c], target_num[c], ap))
+            mAP += ap
+        mAP /= num_cls
+        log("mean AP: %.3f" % mAP)
+        log("——————————————————————————")
+        return mAP

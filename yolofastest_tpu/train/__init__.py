@@ -1,0 +1,4 @@
+from yolofastest_tpu.train.schedule import make_lr_schedule
+from yolofastest_tpu.train.trainer import TrainState, Trainer, make_train_step
+
+__all__ = ["make_lr_schedule", "TrainState", "Trainer", "make_train_step"]

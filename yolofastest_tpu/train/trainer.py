@@ -1,0 +1,259 @@
+"""SPMD training loop: one jitted train step over a device mesh.
+
+Capability-equivalent of the reference train loop
+(``src/model_training/train.py:39-162``) redesigned TPU-first:
+
+* **One compiled step.** forward + loss (with on-device target assignment)
+  + backward + Adam update + BatchNorm stat update are a single XLA program;
+  the reference crosses host/device every step for target building.
+* **Data parallelism by sharding, not code.** The global batch is laid out
+  ``P('data', ...)`` over a `jax.sharding.Mesh`; parameters are replicated.
+  XLA inserts the gradient ``psum`` — there is no hand-written collective
+  (the reference is single-GPU, SURVEY.md §2.3; DP is our first-class axis).
+  An optional ``'spatial'`` mesh axis additionally shards the image height —
+  GSPMD materialises conv halo exchanges automatically.
+* **Cross-replica BatchNorm for free:** batch stats are computed on the
+  global (sharded) batch inside jit, so XLA reduces across the mesh — no
+  ``axis_name`` plumbing.
+* **Full-state checkpoints** via orbax: params, BN stats, optimizer state
+  and step — fixing the reference's weights-only "resume" that restarts the
+  schedule (``train.py:91-92``, SURVEY.md §5).
+
+Optimiser matches ``optim.Adam(lr0, betas=(0.9, 0.999), eps=1e-8)``
+(``train.py:85``; the config's weight_decay is unused there too) with the
+warmup-cosine schedule of :mod:`yolofastest_tpu.train.schedule`.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from yolofastest_tpu.configs import Config
+from yolofastest_tpu.losses import total_loss
+from yolofastest_tpu.models import YoloFastest
+from yolofastest_tpu.train.schedule import make_lr_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_train_step(
+    model: YoloFastest,
+    tx: optax.GradientTransformation,
+    config: Config,
+    lr_schedule: Callable,
+) -> Callable:
+    """Build the pure train-step function (state, imgs, targets) ->
+    (state, metrics).  Jit it with shardings via :class:`Trainer` or
+    directly."""
+    io = config.io
+    tr = config.train
+
+    def train_step(state: TrainState, imgs: jax.Array, targets: jax.Array):
+        def loss_fn(params):
+            heads, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss, comps = total_loss(
+                heads,
+                targets,
+                io.anchors,
+                io.input_hw,
+                ignore_thre=tr.iou_loss_thre,
+                num_cls=io.num_cls,
+                branch_weight=tr.branch_weight,
+            )
+            return loss, (comps, mutated["batch_stats"])
+
+        (loss, (comps, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        metrics = dict(comps)
+        metrics["lr"] = lr_schedule(state.step)
+        return new_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Orchestrates epochs: sharded train steps, logging in the reference's
+    format (``train.py:147-150``), per-epoch mAP validation and orbax
+    checkpoints.
+
+    Args:
+      config: full framework config.
+      mesh: optional `jax.sharding.Mesh` with a ``'data'`` axis (and
+        optionally ``'spatial'``).  Defaults to all local devices on
+        ``'data'``.
+      batch_per_epoch: steps per epoch (sets the schedule); inferred from the
+        loader when using :meth:`fit`.
+    """
+
+    def __init__(
+        self,
+        config: Config,
+        mesh: Optional[Mesh] = None,
+        batch_per_epoch: int = 500,
+        variables: Optional[Dict[str, Any]] = None,
+        seed: Optional[int] = None,
+        logger=None,
+        compute_dtype=jnp.float32,
+        shard_spatial: bool = False,
+    ):
+        self.config = config
+        self.logger = logger
+        io = config.io
+        tr = config.train
+        self.batch_per_epoch = batch_per_epoch
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("data",))
+        self.mesh = mesh
+
+        self.model = YoloFastest(
+            num_cls=io.num_cls, num_anchors=io.num_anchors, compute_dtype=compute_dtype
+        )
+        if variables is None:
+            rng = jax.random.PRNGKey(tr.seed if seed is None else seed)
+            dummy = jnp.zeros((1, *io.input_hw, io.input_channels), jnp.float32)
+            variables = self.model.init(rng, dummy, train=False)
+
+        self.lr_schedule = make_lr_schedule(
+            tr.lr0, tr.total_epochs, batch_per_epoch, tr.warmup_min_iters
+        )
+        self.tx = optax.adam(
+            learning_rate=self.lr_schedule, b1=0.9, b2=0.999, eps=1e-8
+        )
+
+        replicated = NamedSharding(mesh, P())
+        batch_axes = ("data", "spatial") if (
+            shard_spatial and "spatial" in mesh.axis_names
+        ) else ("data",)
+        img_spec = P(*batch_axes) if len(batch_axes) == 1 else P(batch_axes[0], batch_axes[1])
+        self.img_sharding = NamedSharding(mesh, img_spec)
+        self.tgt_sharding = NamedSharding(mesh, P("data"))
+
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self.state = jax.device_put(state, replicated)
+
+        step_fn = make_train_step(self.model, self.tx, config, self.lr_schedule)
+        self._train_step = jax.jit(
+            step_fn,
+            in_shardings=(replicated, self.img_sharding, self.tgt_sharding),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------------ steps
+    def step(self, imgs: np.ndarray, targets: np.ndarray) -> Dict[str, float]:
+        imgs = jax.device_put(jnp.asarray(imgs), self.img_sharding)
+        targets = jax.device_put(jnp.asarray(targets), self.tgt_sharding)
+        self.state, metrics = self._train_step(self.state, imgs, targets)
+        return metrics
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    # ------------------------------------------------------------------- fit
+    def fit(
+        self,
+        loader,
+        total_epochs: Optional[int] = None,
+        validator=None,
+        checkpoint_dir: Optional[str] = None,
+        log_every: Optional[int] = None,
+        metrics_writer=None,
+        start_epoch: int = 0,
+    ):
+        """Run the full training schedule (reference ``train.py:98-160``)."""
+        tr = self.config.train
+        total_epochs = total_epochs or tr.total_epochs
+        log_every = log_every or tr.log_every
+        log = self.logger.info if self.logger else print
+        bpe = len(loader)
+        total_steps = (total_epochs - start_epoch) * bpe
+        step_count = 0
+        history = []
+
+        for epoch in range(start_epoch, total_epochs):
+            for batch_id, (imgs, targets) in enumerate(loader):
+                t0 = time.time()
+                metrics = self.step(imgs, targets)
+                step_count += 1
+                if step_count % log_every == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    duration = time.time() - t0
+                    eps = imgs.shape[0] / duration
+                    remain = (total_steps - step_count) * duration
+                    m, s = divmod(remain, 60)
+                    h, m = divmod(m, 60)
+                    log(
+                        "epoch [%d]: current_batch = %d/%d, total_iter = %d, "
+                        "loss = %.5f, example/sec = %.3f, lr = %.5f, remain = %d:%02d:%02d"
+                        % (epoch, batch_id + 1, bpe, step_count,
+                           metrics["total"], eps, metrics["lr"], h, m, s)
+                    )
+                    if metrics_writer is not None:
+                        metrics_writer(step_count, {**metrics, "example/sec": eps})
+
+            epoch_info = {"epoch": epoch}
+            if validator is not None and epoch > tr.val_after_epoch:
+                epoch_info["mAP"] = validator(self.variables, epoch)
+            if checkpoint_dir:
+                self.save_checkpoint(checkpoint_dir, epoch)
+            history.append(epoch_info)
+        return history
+
+    # ----------------------------------------------------------- checkpoints
+    def save_checkpoint(self, directory: str, epoch: int) -> str:
+        """Full-state orbax checkpoint: params + BN stats + opt state + step
+        (the reference saves weights only, train.py:160)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(directory, f"epoch_{epoch}"))
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(path, jax.device_get(self.state), force=True)
+        ckpt.wait_until_finished()
+        return path
+
+    def restore_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckpt = ocp.StandardCheckpointer()
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            jax.device_get(self.state),
+        )
+        restored = ckpt.restore(os.path.abspath(path), abstract)
+        replicated = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(restored, replicated)
