@@ -1,0 +1,41 @@
+// YOLO-Fastest native inference engine (NHWC, float32, OpenMP).
+//
+// The reference deploys through the external ncnn engine
+// (ncnn_deploy/src/YOLO_ncnn.cpp loads a converted .param/.bin graph); this
+// runtime is self-contained: it executes the BN-folded graph exported by
+// yolofastest_tpu (models/graph.py walk_topology — the same declarative
+// topology drives the JAX, int8 and this C++ path).
+#pragma once
+
+#include <string>
+
+#include "yf/tensor.h"
+#include "yf/weights.h"
+
+namespace yf {
+
+// Elementary ops (src/ops.cpp) — NHWC single image.
+Tensor conv2d(const Tensor& in, const NamedTensor& kernel, const NamedTensor& bias,
+              int stride, bool depthwise, bool relu);
+Tensor deconv2x(const Tensor& in, const NamedTensor& kernel, const NamedTensor& bias);
+Tensor concat_c(const Tensor& a, const Tensor& b);
+void add_inplace(Tensor& x, const Tensor& y);
+
+class YoloFastestNet {
+ public:
+  explicit YoloFastestNet(const std::string& weights_path)
+      : w_(load_weights(weights_path)) {}
+
+  // img: (h, w, 1) normalized floats. Outputs raw head logits,
+  // head_large at stride 16, head_small at stride 32 (NHWC, A*(5+C) ch).
+  void forward(const Tensor& img, Tensor& head_large, Tensor& head_small) const;
+
+ private:
+  Tensor conv(const Tensor& x, const std::string& name, int stride = 1,
+              bool depthwise = false, bool relu = true) const;
+  Tensor res(Tensor x, const std::string& name) const;
+
+  Weights w_;
+};
+
+}  // namespace yf

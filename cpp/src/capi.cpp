@@ -1,0 +1,78 @@
+// C ABI for the native runtime — consumed from Python via ctypes
+// (yolofastest_tpu/native/engine.py) and by external embedders.
+
+#include <cstring>
+#include <vector>
+
+#include "yf/model.h"
+#include "yf/post.h"
+
+extern "C" {
+
+void* yf_create(const char* weights_path) {
+  try {
+    return new yf::YoloFastestNet(weights_path);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void yf_destroy(void* h) { delete static_cast<yf::YoloFastestNet*>(h); }
+
+// img: (in_h, in_w) float32 normalized gray.  Writes raw NHWC head logits to
+// caller buffers sized (in_h/16)*(in_w/16)*ch and (in_h/32)*(in_w/32)*ch.
+// Returns 0 on success.
+int yf_forward(void* h, const float* img, int in_h, int in_w,
+               float* head_large, float* head_small) {
+  try {
+    auto* net = static_cast<yf::YoloFastestNet*>(h);
+    yf::Tensor x(in_h, in_w, 1);
+    std::memcpy(x.data.data(), img, sizeof(float) * (size_t)in_h * in_w);
+    yf::Tensor hl, hs;
+    net->forward(x, hl, hs);
+    std::memcpy(head_large, hl.data.data(), sizeof(float) * hl.size());
+    std::memcpy(head_small, hs.data.data(), sizeof(float) * hs.size());
+    return 0;
+  } catch (...) {
+    return -1;
+  }
+}
+
+// Full detect: forward + decode (both heads) + per-class NMS.
+// anchors: num_scales * num_anchors * 2 floats, scale 0 = stride 16 head.
+// out rows: x1, y1, x2, y2, conf, cls_score, cls.  Returns detection count
+// (<= max_det) or -1 on error.
+int yf_detect(void* h, const float* img, int in_h, int in_w,
+              const float* anchors, int num_scales, int num_anchors,
+              int num_cls, float conf_thre, float nms_thre,
+              int max_det, float* out) {
+  try {
+    auto* net = static_cast<yf::YoloFastestNet*>(h);
+    yf::Tensor x(in_h, in_w, 1);
+    std::memcpy(x.data.data(), img, sizeof(float) * (size_t)in_h * in_w);
+    yf::Tensor heads[2];
+    net->forward(x, heads[0], heads[1]);
+
+    std::vector<yf::BBox> boxes;
+    const int strides[2] = {16, 32};
+    for (int s = 0; s < num_scales && s < 2; ++s) {
+      yf::decode_head(heads[s], anchors + s * num_anchors * 2, num_anchors,
+                      num_cls, (float)strides[s], (float)strides[s],
+                      conf_thre, boxes);
+    }
+    yf::nms_per_class(boxes, num_cls, nms_thre);
+
+    const int n = std::min((int)boxes.size(), max_det);
+    for (int i = 0; i < n; ++i) {
+      const yf::BBox& b = boxes[i];
+      float* row = out + (size_t)i * 7;
+      row[0] = b.x1; row[1] = b.y1; row[2] = b.x2; row[3] = b.y2;
+      row[4] = b.conf; row[5] = b.cls_score; row[6] = (float)b.cls;
+    }
+    return n;
+  } catch (...) {
+    return -1;
+  }
+}
+
+}  // extern "C"

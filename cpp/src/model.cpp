@@ -1,0 +1,90 @@
+// Topology walk — the C++ twin of yolofastest_tpu/models/graph.py
+// walk_topology (itself mirroring the reference yolo_fastest.py:150-218).
+// Any change to the Python topology must be mirrored here; the parity test
+// (tests/test_native.py) locks the two together at logit level.
+
+#include <stdexcept>
+
+#include "yf/model.h"
+
+namespace yf {
+
+namespace {
+const NamedTensor& get(const Weights& w, const std::string& key) {
+  auto it = w.find(key);
+  if (it == w.end()) throw std::runtime_error("missing weight: " + key);
+  return it->second;
+}
+}  // namespace
+
+Tensor YoloFastestNet::conv(const Tensor& x, const std::string& name, int stride,
+                            bool depthwise, bool relu) const {
+  return conv2d(x, get(w_, name + "/kernel"), get(w_, name + "/bias"),
+                stride, depthwise, relu);
+}
+
+Tensor YoloFastestNet::res(Tensor x, const std::string& name) const {
+  Tensor y = conv(x, name + "/conv1", 1);
+  y = conv(y, name + "/conv2", 1, /*depthwise=*/true);
+  y = conv(y, name + "/conv3", 1, false, /*relu=*/false);
+  add_inplace(y, x);
+  return y;
+}
+
+void YoloFastestNet::forward(const Tensor& img, Tensor& head_large,
+                             Tensor& head_small) const {
+  Tensor x = conv(img, "conv0", 2);
+  x = conv(x, "conv1_2");
+  x = conv(x, "conv1_3", 1, true);
+  x = conv(x, "conv1_4", 1, false, false);
+  x = res(std::move(x), "res1_1");
+  x = conv(x, "conv1_8");
+  x = conv(x, "conv1_9", 2);
+  x = conv(x, "conv2_1", 1, false, false);
+  x = res(std::move(x), "res2_1");
+  x = res(std::move(x), "res2_2");
+  x = conv(x, "conv2_2");
+  x = conv(x, "conv2_3", 2, true);
+  x = conv(x, "conv3_1", 1, false, false);
+  x = res(std::move(x), "res3_1");
+  x = res(std::move(x), "res3_2");
+  x = conv(x, "conv3_2");
+  x = conv(x, "conv3_3", 1, true);
+  x = conv(x, "conv3_4", 1, false, false);
+  x = res(std::move(x), "res3_3");
+  x = res(std::move(x), "res3_4");
+  x = res(std::move(x), "res3_5");
+  x = res(std::move(x), "res3_6");
+  x = conv(x, "conv3_5");
+  x = conv(x, "conv3_6", 2, true);
+  x = conv(x, "conv4_1", 1, false, false);
+  x = res(std::move(x), "res4_1");
+  x = res(std::move(x), "res4_2");
+  x = res(std::move(x), "res4_3");
+  x = res(std::move(x), "res4_4");
+  Tensor c42 = conv(x, "conv4_2");
+  x = conv(c42, "conv4_3", 2, true);
+  x = conv(x, "conv5_1");
+  x = res(std::move(x), "res5_1");
+  x = res(std::move(x), "res5_2");
+  x = res(std::move(x), "res5_3");
+  x = res(std::move(x), "res5_4");
+  x = res(std::move(x), "res5_5");
+  Tensor c52 = conv(x, "conv5_2");
+  x = conv(c52, "conv5_3", 1, true);
+  x = conv(x, "conv5_4", 1, false, false);
+  x = conv(x, "conv5_5", 1, true);
+  x = conv(x, "conv5_6", 1, false, false);
+  head_small = conv(x, "head_5", 1, false, false);
+
+  Tensor up = yf::deconv2x(c52, get(w_, "deconv5_1/kernel"), get(w_, "deconv5_1/bias"));
+  x = concat_c(c42, up);
+  x = conv(x, "conv4_1_1");
+  x = conv(x, "conv4_1_2", 1, true);
+  x = conv(x, "conv4_1_3", 1, false, false);
+  x = conv(x, "conv4_1_4", 1, true);
+  x = conv(x, "conv4_1_5", 1, false, false);
+  head_large = conv(x, "head_4", 1, false, false);
+}
+
+}  // namespace yf

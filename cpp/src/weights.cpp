@@ -1,0 +1,70 @@
+#include "yf/weights.h"
+
+#include <cstdio>
+#include <stdexcept>
+
+namespace yf {
+
+namespace {
+
+void read_exact(FILE* f, void* dst, size_t n) {
+  if (fread(dst, 1, n, f) != n) throw std::runtime_error("yfb: truncated file");
+}
+
+uint32_t read_u32(FILE* f) {
+  uint32_t v;
+  read_exact(f, &v, 4);
+  return v;  // file and all supported hosts are little-endian
+}
+
+uint64_t read_u64(FILE* f) {
+  uint64_t v;
+  read_exact(f, &v, 8);
+  return v;
+}
+
+}  // namespace
+
+Weights load_weights(const std::string& path) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) throw std::runtime_error("yfb: cannot open " + path);
+  Weights out;
+  try {
+    char magic[4];
+    read_exact(f, magic, 4);
+    if (std::string(magic, 4) != "YFWB") throw std::runtime_error("yfb: bad magic");
+    uint32_t version = read_u32(f);
+    if (version != 1) throw std::runtime_error("yfb: unsupported version");
+    uint32_t n = read_u32(f);
+    for (uint32_t i = 0; i < n; ++i) {
+      uint32_t name_len = read_u32(f);
+      std::string name(name_len, '\0');
+      read_exact(f, name.data(), name_len);
+      uint32_t dtype = read_u32(f);
+      uint32_t ndim = read_u32(f);
+      NamedTensor t;
+      t.shape.resize(ndim);
+      for (uint32_t d = 0; d < ndim; ++d) t.shape[d] = read_u32(f);
+      uint64_t nbytes = read_u64(f);
+      if (dtype == 0) {
+        t.is_f32 = true;
+        t.f32.resize(nbytes / 4);
+        read_exact(f, t.f32.data(), nbytes);
+      } else if (dtype == 1) {
+        t.is_f32 = false;
+        t.i8.resize(nbytes);
+        read_exact(f, t.i8.data(), nbytes);
+      } else {
+        throw std::runtime_error("yfb: unknown dtype");
+      }
+      out.emplace(std::move(name), std::move(t));
+    }
+  } catch (...) {
+    fclose(f);
+    throw;
+  }
+  fclose(f);
+  return out;
+}
+
+}  // namespace yf

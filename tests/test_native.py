@@ -1,0 +1,86 @@
+"""Native C++ runtime parity: logits and detections vs the JAX folded graph
+and the committed reference goldens.
+
+Skips when ``cpp/build/libyf.so`` hasn't been built (run ``cpp/build.sh``).
+"""
+
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolofastest_tpu.configs import get_config
+from yolofastest_tpu.export import save_native_weights
+from yolofastest_tpu.models import fold_batchnorm, folded_apply, load_variables, zoo_path
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LIB = os.path.join(REPO, "cpp", "build", "libyf.so")
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    if not os.path.exists(LIB):
+        built = subprocess.run(
+            [os.path.join(REPO, "cpp", "build.sh")], capture_output=True
+        )
+        if built.returncode != 0 or not os.path.exists(LIB):
+            pytest.skip("native library not built and build failed")
+    if not os.path.exists(zoo_path("256x320")):
+        pytest.skip("zoo weights not present")
+    from yolofastest_tpu.native import NativeEngine
+
+    variables = load_variables(zoo_path("256x320"))
+    folded = fold_batchnorm(variables)
+    yfb = str(tmp_path_factory.mktemp("native") / "model.yfb")
+    save_native_weights(folded, yfb)
+    cfg = get_config("256x320")
+    return NativeEngine(yfb, cfg), folded, cfg
+
+
+def _images():
+    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    imgs = (fx["pre_imgs"].astype(np.float32)[..., None] - 128.0) / 255.0
+    return fx, imgs
+
+
+def test_native_forward_matches_jax(engine):
+    eng, folded, cfg = engine
+    fx, imgs = _images()
+    ref_large, ref_small = jax.jit(folded_apply)(
+        jax.tree.map(jnp.asarray, folded), jnp.asarray(imgs[:2])
+    )
+    for i in range(2):
+        got_large, got_small = eng.forward(imgs[i])
+        np.testing.assert_allclose(got_large, np.asarray(ref_large)[i],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got_small, np.asarray(ref_small)[i],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_native_detections_match_golden(engine):
+    """C++ engine + C++ postprocess must reproduce the reference's golden
+    detections on the bundled test set (same boxes +-1px, same class)."""
+    eng, _, cfg = engine
+    fx, imgs = _images()
+    golden = fx["boxes"]  # img_idx, x1, y1, x2, y2, conf, cls_score, cls
+
+    matched = 0
+    total_det = 0
+    for b in range(len(imgs)):
+        rows = eng.detect(imgs[b])
+        total_det += len(rows)
+        want = golden[golden[:, 0] == b]
+        for wrow in want:
+            ok = any(
+                int(r[6]) == int(wrow[7])
+                and max(abs(np.array(r[:4]) - wrow[1:5])) <= 1.0
+                and abs(r[4] - wrow[5]) < 1e-2
+                for r in rows
+            )
+            matched += ok
+    assert matched == len(golden), f"native matched {matched}/{len(golden)}"
+    assert total_det == len(golden), f"extra native detections: {total_det}"

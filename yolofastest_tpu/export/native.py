@@ -1,0 +1,78 @@
+"""Native weights format (``.yfb``) for the C++ runtime.
+
+The analogue of the reference's ncnn ``.param``/``.bin`` pair
+(``models/ncnn/*/*.param``): a single little-endian binary holding the
+BN-folded (and optionally int8-quantised) tensors by layer name.  Layout:
+
+    magic  'Y','F','W','B'
+    u32    version (1)
+    u32    n_tensors
+    repeat n_tensors:
+        u32  name_len;  name bytes (utf-8)
+        u32  dtype      (0 = float32, 1 = int8)
+        u32  ndim;      u32 dims[ndim]
+        u64  nbytes;    raw data
+
+The C++ loader is ``cpp/src/weights.cpp``; both sides are ~60 lines by
+design — no protobuf, no schema compiler (contrast the reference's vendored
+10.9k-line ``caffe_pb2.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Any, Dict
+
+import numpy as np
+
+MAGIC = b"YFWB"
+VERSION = 1
+_DTYPES = {np.dtype(np.float32): 0, np.dtype(np.int8): 1}
+_DTYPES_INV = {0: np.float32, 1: np.int8}
+
+
+def save_native_weights(folded: Dict[str, Dict[str, Any]], path: str) -> None:
+    """Write ``{layer: {tensor_name: array}}`` (e.g. fold_batchnorm or
+    quantize_weights output) as a flat ``layer/tensor`` -> array file."""
+    flat: Dict[str, np.ndarray] = {}
+    for layer, tensors in folded.items():
+        for tname, arr in tensors.items():
+            flat[f"{layer}/{tname}"] = np.ascontiguousarray(np.asarray(arr))
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<II", VERSION, len(flat)))
+        for name, arr in sorted(flat.items()):
+            if arr.dtype not in _DTYPES:
+                arr = arr.astype(np.float32)
+            nb = name.encode("utf-8")
+            f.write(struct.pack("<I", len(nb)))
+            f.write(nb)
+            f.write(struct.pack("<I", _DTYPES[arr.dtype]))
+            f.write(struct.pack("<I", arr.ndim))
+            f.write(struct.pack(f"<{arr.ndim}I", *arr.shape))
+            data = arr.tobytes()
+            f.write(struct.pack("<Q", len(data)))
+            f.write(data)
+
+
+def load_native_weights(path: str) -> Dict[str, Dict[str, np.ndarray]]:
+    """Read a ``.yfb`` back into ``{layer: {tensor: array}}`` (test oracle
+    for the C++ loader)."""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    with open(path, "rb") as f:
+        assert f.read(4) == MAGIC, "bad magic"
+        version, n = struct.unpack("<II", f.read(8))
+        assert version == VERSION
+        for _ in range(n):
+            (nlen,) = struct.unpack("<I", f.read(4))
+            name = f.read(nlen).decode("utf-8")
+            dtype_id, ndim = struct.unpack("<II", f.read(8))
+            shape = struct.unpack(f"<{ndim}I", f.read(4 * ndim))
+            (nbytes,) = struct.unpack("<Q", f.read(8))
+            arr = np.frombuffer(f.read(nbytes), dtype=_DTYPES_INV[dtype_id]).reshape(shape)
+            layer, tname = name.rsplit("/", 1)
+            out.setdefault(layer, {})[tname] = arr
+    return out

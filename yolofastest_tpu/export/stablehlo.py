@@ -1,0 +1,85 @@
+"""Serialised-graph export via ``jax.export`` (StableHLO).
+
+The TPU-native analogue of the reference's converter zoo —
+``pytorch_to_onnx.py`` (ONNX), ``pytorch_to_caffe.py`` (Caffe op
+interception) and ``rknn_deploy.export_pytorch_model`` (TorchScript trace):
+one exporter that serialises the *jitted* inference computation (weights
+baked in as constants, like the reference's exported graphs) to a portable
+StableHLO artifact any PJRT runtime can load — no tracing hacks, no
+monkey-patching, versioned and shape-checked by jax.export itself.
+
+Two graphs are exported:
+
+* ``export_folded_forward`` — the clean conv-only graph (inputs ->
+  head_large, head_small), mirroring the reference's exported networks
+  which also keep postprocessing outside the graph (SURVEY.md §3.5);
+* ``export_detect_pipeline`` — the full fused detect program (normalise ->
+  backbone -> decode -> NMS), something no reference converter could
+  express.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+from yolofastest_tpu.configs import Config
+from yolofastest_tpu.models import YoloFastest
+from yolofastest_tpu.models.graph import folded_apply
+from yolofastest_tpu.ops import batched_nms, decode_heads, normalize
+
+
+def _export_fn(fn: Callable, example_args) -> jexport.Exported:
+    return jexport.export(jax.jit(fn))(*example_args)
+
+
+def export_folded_forward(
+    folded: Dict[str, Any], config: Config, batch: int = 1, compute_dtype=jnp.float32
+) -> jexport.Exported:
+    """Folded graph, weights baked in: (B,H,W,1) float -> (large, small)."""
+    io = config.io
+    folded = jax.tree.map(jnp.asarray, folded)
+
+    def fn(x):
+        large, small = folded_apply(folded, x, compute_dtype)
+        return large.astype(jnp.float32), small.astype(jnp.float32)
+
+    x = jnp.zeros((batch, *io.input_hw, io.input_channels), jnp.float32)
+    return _export_fn(fn, (x,))
+
+
+def export_detect_pipeline(
+    variables: Dict[str, Any], config: Config, batch: int = 1, compute_dtype=jnp.float32
+) -> jexport.Exported:
+    """Full pipeline, weights baked in: (B,H,W) uint8 gray -> detection dict."""
+    io = config.io
+    model = YoloFastest(num_cls=io.num_cls, num_anchors=io.num_anchors,
+                        compute_dtype=compute_dtype)
+    variables = jax.tree.map(jnp.asarray, variables)
+
+    def fn(frames):
+        imgs = normalize(frames, compute_dtype)[..., None]
+        heads = model.apply(variables, imgs, train=False)
+        boxes, conf, cls_score, cls_idx, valid = decode_heads(
+            heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
+        )
+        return batched_nms(boxes, conf, cls_score, cls_idx, valid,
+                           iou_thre=io.nms_thre, max_det=io.max_det)
+
+    frames = jnp.zeros((batch, *io.input_hw), jnp.uint8)
+    return _export_fn(fn, (frames,))
+
+
+def save_exported(exported: jexport.Exported, path: str) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_exported(path: str) -> jexport.Exported:
+    with open(path, "rb") as f:
+        return jexport.deserialize(f.read())

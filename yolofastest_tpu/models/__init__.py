@@ -6,8 +6,16 @@ from yolofastest_tpu.models.yolo_fastest import (
     YoloFastestLite,
 )
 from yolofastest_tpu.models.torch_io import load_torch_checkpoint
+from yolofastest_tpu.models.graph import fold_batchnorm, folded_apply, walk_topology
+from yolofastest_tpu.models.zoo import load_variables, save_variables, zoo_path
 
 __all__ = [
+    "fold_batchnorm",
+    "folded_apply",
+    "load_variables",
+    "save_variables",
+    "walk_topology",
+    "zoo_path",
     "BasicResBlock",
     "ConvNormAct",
     "Deconv2x",
