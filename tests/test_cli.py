@@ -1,0 +1,61 @@
+"""CLI smoke tests: txt2xml conversion, native-backend batch detect."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolofastest_tpu.cli import main
+from yolofastest_tpu.models import zoo_path
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_txt2xml_roundtrip(tmp_path):
+    import cv2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    img = np.zeros((100, 200, 3), np.uint8)
+    cv2.imwrite(str(src / "a.jpg"), img)
+    (src / "a.txt").write_text("0 0.5 0.5 0.2 0.4\n1 0.25 0.25 0.1 0.1\n")
+
+    rc = main(["txt2xml", "--src", str(src), "--dst", str(tmp_path / "voc")])
+    assert rc == 0
+
+    from yolofastest_tpu.data import VOCIndex
+
+    idx = VOCIndex(str(tmp_path / "voc"), ("carrier", "defender", "destroyer"))
+    assert len(idx) == 1
+    _, labels = idx[0]
+    assert labels.shape == (2, 5)
+    np.testing.assert_allclose(labels[0], [0, 80, 30, 120, 70], atol=0.5)
+
+
+def test_cli_detect_native(tmp_path):
+    if not os.path.exists(zoo_path("256x320")):
+        pytest.skip("zoo weights not present")
+    if not os.path.exists(os.path.join(REPO, "cpp", "build", "libyf.so")):
+        pytest.skip("native library not built")
+    import cv2
+
+    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(2):
+        # synthesise a 3-channel 512x640 source so the CLI exercises the
+        # full gray+resize preprocessing
+        gray = fx["pre_imgs"][i]
+        big = cv2.resize(gray, (640, 512))
+        cv2.imwrite(str(data / f"im{i}.jpg"), cv2.cvtColor(big, cv2.COLOR_GRAY2BGR))
+
+    out = tmp_path / "out"
+    rc = main([
+        "detect", "--config", "256x320", "--weights", zoo_path("256x320"),
+        "--data", str(data), "--out", str(out), "--backend", "native",
+    ])
+    assert rc == 0
+    results = [f for f in os.listdir(out) if f.startswith("result_")]
+    assert len(results) == 2
+    assert os.path.exists(out / "detect_info.log")

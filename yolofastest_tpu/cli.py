@@ -1,0 +1,299 @@
+"""Command-line interface: ``python -m yolofastest_tpu <command>``.
+
+The reference has no CLI — every entry point is a hard-coded ``__main__``
+block edited in place (``detect.py:196-203``, ``main.cpp:10-13``,
+``rknn_deploy.py:160-163``; SURVEY.md §5 flags the duplication hazard).
+Here one typed config (``configs/``) + argparse drive every workflow:
+
+  detect    batch-detect a directory (jax | native-C++ | int8 backend)
+  train     full training run with validation + orbax checkpoints
+  eval      mAP of a weights file on a VOC dataset
+  export    weights -> StableHLO graphs + native .yfb (+ int8 .yfb)
+  convert   reference .pth -> zoo .npz
+  txt2xml   custom txt labels -> VOC XML (reference utils/txt2xml.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _load_weights(path: str):
+    from yolofastest_tpu.models import load_variables
+    from yolofastest_tpu.models.torch_io import load_torch_checkpoint
+
+    if path.endswith(".pth"):
+        return load_torch_checkpoint(path)
+    return load_variables(path)
+
+
+def cmd_detect(args) -> int:
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.utils.logging import config_logger
+
+    cfg = get_config(args.config)
+    logger = config_logger(args.out, "detect_info.log")
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.backend == "native":
+        import time
+
+        import cv2
+        import numpy as np
+
+        from yolofastest_tpu.export import save_native_weights
+        from yolofastest_tpu.models import fold_batchnorm
+        from yolofastest_tpu.native import NativeEngine
+        from yolofastest_tpu.utils.visualize import CLASS_COLORS, plot_one_box
+
+        folded = fold_batchnorm(_load_weights(args.weights))
+        yfb = os.path.join(args.out, "model.yfb")
+        save_native_weights(folded, yfb)
+        eng = NativeEngine(yfb, cfg)
+        io = cfg.io
+        names = sorted(f for f in os.listdir(args.data) if f.lower().endswith(".jpg"))
+        avg = 0.0
+        for fn in names:
+            ori = cv2.imread(os.path.join(args.data, fn))
+            gray = cv2.cvtColor(ori, cv2.COLOR_BGR2GRAY)
+            if gray.shape[:2] != io.input_hw:
+                gray = cv2.resize(gray, (io.input_hw[1], io.input_hw[0]))
+            img = (gray.astype(np.float32) - 128.0) / 255.0
+            t0 = time.time()
+            rows = eng.detect(img)
+            total = (time.time() - t0) * 1e3
+            avg += total
+            sh = ori.shape[0] / io.input_hw[0]
+            sw = ori.shape[1] / io.input_hw[1]
+            for x1, y1, x2, y2, conf, cls_score, cls in rows:
+                plot_one_box([x1 * sw, y1 * sh, x2 * sw, y2 * sh], ori,
+                             color=CLASS_COLORS[int(cls) % 3],
+                             label="%s %.2f" % (io.class_names[int(cls)], conf * cls_score),
+                             line_thickness=3)
+            cv2.imwrite(os.path.join(args.out, "result_" + fn), ori)
+            logger.info("image_name:%s -> total time:%.2fms" % (fn, total))
+        logger.info("detect avg_time: %.2fms" % (avg / max(len(names), 1)))
+        return 0
+
+    from yolofastest_tpu.inference import Detector
+
+    variables = _load_weights(args.weights)
+    if args.backend == "int8":
+        import jax
+        import jax.numpy as jnp
+
+        from yolofastest_tpu.models import fold_batchnorm
+        from yolofastest_tpu.quant import calibrate, quantize_weights, quantized_apply
+
+        folded = fold_batchnorm(variables)
+        qparams = quantize_weights(folded)
+        # calibrate on the first few images of the target directory
+        det0 = Detector(cfg, variables=variables, logger=logger)
+        import numpy as np
+
+        names = sorted(f for f in os.listdir(args.data) if f.lower().endswith(".jpg"))[:8]
+        cal = np.concatenate(
+            [det0.preprocess_host(os.path.join(args.data, n))[0] for n in names]
+        )
+        scales = calibrate(folded, [cal])
+
+        detector = Detector(cfg, variables=variables, logger=logger)
+
+        def _run(variables_unused, images):
+            heads = quantized_apply(qparams, scales, images)
+            from yolofastest_tpu.ops import batched_nms, decode_heads
+
+            io = cfg.io
+            b, c, s, ci, v = decode_heads(heads, io.anchors, io.input_hw,
+                                          io.conf_thre, io.max_decode)
+            return batched_nms(b, c, s, ci, v, iou_thre=io.nms_thre,
+                               max_det=io.max_det)
+
+        detector._run = jax.jit(_run)
+        detector.batch_detect(args.data, args.out)
+        return 0
+
+    detector = Detector(cfg, variables=variables, logger=logger)
+    detector.batch_detect(args.data, args.out)
+    return 0
+
+
+def cmd_train(args) -> int:
+    import dataclasses
+
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.data import DetectionLoader, VOCIndex
+    from yolofastest_tpu.eval import MAPEvaluator
+    from yolofastest_tpu.train import Trainer
+    from yolofastest_tpu.utils.logging import config_logger
+    from yolofastest_tpu.utils.metrics import MetricsWriter
+
+    cfg = get_config(args.config)
+    tr = dataclasses.replace(
+        cfg.train,
+        total_epochs=args.epochs or cfg.train.total_epochs,
+        batch_size=args.batch_size or cfg.train.batch_size,
+    )
+    cfg = dataclasses.replace(cfg, train=tr)
+
+    logger = config_logger(args.log_dir, "train_info.log")
+    logger.info("Start....")
+
+    train_idx = VOCIndex(args.train_dir, cfg.io.class_names, logger)
+    loader = DetectionLoader(train_idx, cfg, seed=cfg.train.seed)
+
+    validator = None
+    if args.val_dir:
+        val_idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
+        val_loader = DetectionLoader(val_idx, cfg, augment=False, shuffle=False)
+        validator = MAPEvaluator(cfg, val_loader, logger=logger)
+
+    variables = _load_weights(args.pretrained) if args.pretrained else None
+    if variables is not None:
+        logger.info("Load pretrained model %s" % args.pretrained)
+    else:
+        logger.info("initialize model")
+
+    trainer = Trainer(cfg, batch_per_epoch=len(loader), variables=variables,
+                      logger=logger)
+    if args.resume:
+        trainer.restore_checkpoint(args.resume)
+        logger.info("Resumed full state from %s" % args.resume)
+
+    metrics = MetricsWriter(args.log_dir)
+    trainer.fit(loader, validator=validator,
+                checkpoint_dir=args.checkpoint_dir, metrics_writer=metrics)
+    metrics.close()
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.data import DetectionLoader, VOCIndex
+    from yolofastest_tpu.eval import MAPEvaluator
+    from yolofastest_tpu.utils.logging import config_logger
+
+    cfg = get_config(args.config)
+    logger = config_logger(args.log_dir, "eval_info.log")
+    idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
+    loader = DetectionLoader(idx, cfg, augment=False, shuffle=False)
+    evaluator = MAPEvaluator(cfg, loader, logger=logger)
+    variables = _load_weights(args.weights)
+    import jax
+
+    import jax.numpy as jnp
+
+    variables = jax.tree.map(jnp.asarray, variables)
+    mAP = evaluator(variables, epoch=0)
+    print(f"mAP: {mAP:.4f}")
+    return 0
+
+
+def cmd_export(args) -> int:
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.export import (
+        export_detect_pipeline,
+        export_folded_forward,
+        save_exported,
+        save_native_weights,
+    )
+    from yolofastest_tpu.models import fold_batchnorm
+    from yolofastest_tpu.quant import quantize_weights
+
+    cfg = get_config(args.config)
+    variables = _load_weights(args.weights)
+    folded = fold_batchnorm(variables)
+    os.makedirs(args.out, exist_ok=True)
+
+    save_native_weights(folded, os.path.join(args.out, "model.yfb"))
+    print("wrote", os.path.join(args.out, "model.yfb"))
+    save_native_weights(quantize_weights(folded), os.path.join(args.out, "model_int8.yfb"))
+    print("wrote", os.path.join(args.out, "model_int8.yfb"))
+
+    exp = export_folded_forward(folded, cfg, batch=args.batch)
+    save_exported(exp, os.path.join(args.out, "forward.stablehlo"))
+    print("wrote", os.path.join(args.out, "forward.stablehlo"))
+    exp = export_detect_pipeline(variables, cfg, batch=args.batch)
+    save_exported(exp, os.path.join(args.out, "detect.stablehlo"))
+    print("wrote", os.path.join(args.out, "detect.stablehlo"))
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from yolofastest_tpu.models import save_variables
+    from yolofastest_tpu.models.torch_io import load_torch_checkpoint
+
+    variables = load_torch_checkpoint(args.pth)
+    save_variables(variables, args.out)
+    print(f"{args.pth} -> {args.out}")
+    return 0
+
+
+def cmd_txt2xml(args) -> int:
+    from yolofastest_tpu.data.txt2xml import convert_txt_dataset
+
+    n = convert_txt_dataset(args.src, args.dst, class_id_base=args.class_id_base)
+    print(f"converted {n} label files -> {args.dst}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="yolofastest_tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("detect", help="batch-detect a directory of images")
+    d.add_argument("--config", default="256x320", choices=["256x320", "512x640"])
+    d.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
+    d.add_argument("--data", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--backend", default="jax", choices=["jax", "native", "int8"])
+    d.set_defaults(fn=cmd_detect)
+
+    t = sub.add_parser("train", help="train on a VOC-XML dataset")
+    t.add_argument("--config", default="256x320", choices=["256x320", "512x640"])
+    t.add_argument("--train-dir", required=True)
+    t.add_argument("--val-dir", default=None)
+    t.add_argument("--epochs", type=int, default=None)
+    t.add_argument("--batch-size", type=int, default=None)
+    t.add_argument("--pretrained", default=None)
+    t.add_argument("--resume", default=None, help="orbax checkpoint dir to resume")
+    t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--log-dir", default="logs")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="mAP on a VOC-XML val set")
+    e.add_argument("--config", default="256x320", choices=["256x320", "512x640"])
+    e.add_argument("--weights", required=True)
+    e.add_argument("--val-dir", required=True)
+    e.add_argument("--log-dir", default="logs")
+    e.set_defaults(fn=cmd_eval)
+
+    x = sub.add_parser("export", help="export StableHLO + native weights")
+    x.add_argument("--config", default="256x320", choices=["256x320", "512x640"])
+    x.add_argument("--weights", required=True)
+    x.add_argument("--out", required=True)
+    x.add_argument("--batch", type=int, default=1)
+    x.set_defaults(fn=cmd_export)
+
+    c = sub.add_parser("convert", help="reference .pth -> zoo .npz")
+    c.add_argument("--pth", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_convert)
+
+    tx = sub.add_parser("txt2xml", help="custom txt labels -> VOC XML dataset")
+    tx.add_argument("--src", required=True)
+    tx.add_argument("--dst", required=True)
+    tx.add_argument("--class-id-base", type=int, default=0)
+    tx.set_defaults(fn=cmd_txt2xml)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
