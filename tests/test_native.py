@@ -21,51 +21,52 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LIB = os.path.join(REPO, "cpp", "build", "libyf.so")
 
 
-@pytest.fixture(scope="module")
-def engine(tmp_path_factory):
+@pytest.fixture(scope="module", params=["256x320", "512x640"])
+def engine(request, tmp_path_factory):
+    res = request.param
     if not os.path.exists(LIB):
         built = subprocess.run(
             [os.path.join(REPO, "cpp", "build.sh")], capture_output=True
         )
         if built.returncode != 0 or not os.path.exists(LIB):
             pytest.skip("native library not built and build failed")
-    if not os.path.exists(zoo_path("256x320")):
+    if not os.path.exists(zoo_path(res)):
         pytest.skip("zoo weights not present")
     from yolofastest_tpu.native import NativeEngine
 
-    variables = load_variables(zoo_path("256x320"))
+    variables = load_variables(zoo_path(res))
     folded = fold_batchnorm(variables)
     yfb = str(tmp_path_factory.mktemp("native") / "model.yfb")
     save_native_weights(folded, yfb)
-    cfg = get_config("256x320")
-    return NativeEngine(yfb, cfg), folded, cfg
+    cfg = get_config(res)
+    return NativeEngine(yfb, cfg), folded, cfg, res
 
 
-def _images():
-    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+def _images(res):
+    fx = np.load(os.path.join(FIXTURES, f"golden_{res}.npz"))
     imgs = (fx["pre_imgs"].astype(np.float32)[..., None] - 128.0) / 255.0
     return fx, imgs
 
 
 def test_native_forward_matches_jax(engine):
-    eng, folded, cfg = engine
-    fx, imgs = _images()
+    eng, folded, cfg, res = engine
+    fx, imgs = _images(res)
     ref_large, ref_small = jax.jit(folded_apply)(
         jax.tree.map(jnp.asarray, folded), jnp.asarray(imgs[:2])
     )
     for i in range(2):
         got_large, got_small = eng.forward(imgs[i])
         np.testing.assert_allclose(got_large, np.asarray(ref_large)[i],
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=1e-4, atol=2e-3)
         np.testing.assert_allclose(got_small, np.asarray(ref_small)[i],
-                                   rtol=1e-4, atol=1e-4)
+                                   rtol=1e-4, atol=2e-3)
 
 
 def test_native_detections_match_golden(engine):
     """C++ engine + C++ postprocess must reproduce the reference's golden
     detections on the bundled test set (same boxes +-1px, same class)."""
-    eng, _, cfg = engine
-    fx, imgs = _images()
+    eng, _, cfg, res = engine
+    fx, imgs = _images(res)
     golden = fx["boxes"]  # img_idx, x1, y1, x2, y2, conf, cls_score, cls
 
     matched = 0
