@@ -46,22 +46,6 @@ def nms_keep_mask(boxes, conf, cls_idx, valid, iou_thre: float,
     return jax.lax.fori_loop(0, k, body, valid)
 
 
-def _nms_single(boxes, conf, cls_score, cls_idx, valid, iou_thre, max_det,
-                pixel_offset):
-    keep = nms_keep_mask(boxes, conf, cls_idx, valid, iou_thre, pixel_offset)
-    # Compact: kept detections first (stable keeps conf-descending order).
-    order = jnp.argsort(~keep, stable=True)
-    sel = order[:max_det]
-    return (
-        boxes[sel],
-        conf[sel],
-        cls_score[sel],
-        cls_idx[sel],
-        keep[sel],
-        jnp.sum(keep.astype(jnp.int32)).clip(0, max_det),
-    )
-
-
 def batched_nms(boxes, conf, cls_score, cls_idx, valid, iou_thre: float,
                 max_det: int = 64, pixel_offset: float = 0.0) -> Dict[str, jax.Array]:
     """Batched class-aware NMS.
@@ -78,10 +62,29 @@ def batched_nms(boxes, conf, cls_score, cls_idx, valid, iou_thre: float,
       dict with ``boxes`` (B,max_det,4), ``conf``, ``cls_score``, ``cls_idx``,
       ``valid`` (B,max_det) and ``count`` (B,) — conf-descending, valid first.
     """
-    out = jax.vmap(
-        lambda b, c, s, ci, v: _nms_single(
-            b, c, s, ci, v, iou_thre, max_det, pixel_offset
-        )
-    )(boxes, conf, cls_score, cls_idx, valid)
-    keys = ("boxes", "conf", "cls_score", "cls_idx", "valid", "count")
-    return dict(zip(keys, out))
+    keep = jax.vmap(
+        lambda b, c, i, v: nms_keep_mask(b, c, i, v, iou_thre, pixel_offset)
+    )(boxes, conf, cls_idx, valid)
+
+    # Compact kept-first with ONE fused gather (stable argsort keeps the
+    # conf-descending order; per-tensor gathers are the TPU bottleneck).
+    order = jnp.argsort(~keep, axis=1, stable=True)[:, :max_det]
+    stacked = jnp.concatenate(
+        [
+            boxes,
+            conf[..., None],
+            cls_score[..., None],
+            cls_idx.astype(jnp.float32)[..., None],
+            keep.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )  # (B, K, 8)
+    picked = jnp.take_along_axis(stacked, order[..., None], axis=1)
+    return {
+        "boxes": picked[..., 0:4],
+        "conf": picked[..., 4],
+        "cls_score": picked[..., 5],
+        "cls_idx": picked[..., 6].astype(jnp.int32),
+        "valid": picked[..., 7] > 0.5,
+        "count": jnp.sum(keep.astype(jnp.int32), axis=1).clip(0, max_det),
+    }
