@@ -118,6 +118,35 @@ def test_int8_quantized_detections_match_golden(setup):
     assert recall >= 0.9, f"int8 recovered only {recall:.2%} of golden boxes"
 
 
+def test_int8_fused_activations_detections_match_golden(setup):
+    """End-to-end int8 activations (every inter-layer tensor int8 in HBM)
+    must still recover >=90% of the golden fp32 detections."""
+    from yolofastest_tpu.quant.ptq import quantized_apply_fused
+
+    variables, fx, imgs = setup
+    cfg = get_config("256x320")
+    folded = fold_batchnorm(variables)
+    qparams = quantize_weights(folded)
+    scales = calibrate(folded, [imgs[:8]])
+    assert any(k.startswith("out/") for k in scales), "output scales missing"
+
+    heads = jax.jit(quantized_apply_fused)(qparams, scales, jnp.asarray(imgs))
+    det = _detect(heads, cfg)
+
+    golden = fx["boxes"]
+    matched = 0
+    for row in golden:
+        b = int(row[0])
+        found = any(
+            int(det["cls_idx"][b, i]) == int(row[7])
+            and _iou(det["boxes"][b, i], row[1:5]) > 0.5
+            for i in range(int(det["count"][b]))
+        )
+        matched += found
+    recall = matched / len(golden)
+    assert recall >= 0.9, f"fused int8 recovered only {recall:.2%} of golden boxes"
+
+
 def test_int8_logit_error_bounded(setup):
     variables, fx, imgs = setup
     folded = fold_batchnorm(variables)
