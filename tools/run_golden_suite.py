@@ -1,0 +1,149 @@
+"""Golden benchmark suite: every backend x both resolutions over the bundled
+test set, reference-format timing logs + a parity/accuracy table.
+
+The capability analogue of the reference's committed ``test_result/`` matrix
+(2 resolutions x {PC-python, ncnn-C++, rknn-NPU}; SURVEY.md §4), as one
+automated runner with numeric parity checks instead of eyeballed JPEGs.
+
+Backends: jax-fp32, jax-bf16, int8 (per-layer), int8-fused (end-to-end int8
+activations), native-C++.  Parity metric: fraction of the fp32 golden
+detections (committed fixtures) recovered at IOU>0.5 with matching class.
+
+Usage: python tools/run_golden_suite.py [--data DIR] [--out DIR]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
+
+
+def iou(a, b):
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / max(ua, 1e-9)
+
+
+def recall_vs_golden(det, golden):
+    matched = 0
+    for row in golden:
+        b = int(row[0])
+        ok = any(
+            int(det["cls_idx"][b, i]) == int(row[7])
+            and iou(det["boxes"][b, i], row[1:5]) > 0.5
+            for i in range(int(det["count"][b]))
+        )
+        matched += ok
+    return matched, len(golden)
+
+
+def run_resolution(res, out_dir):
+    import jax
+    import jax.numpy as jnp
+
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.models import (
+        YoloFastest, fold_batchnorm, load_variables, zoo_path,
+    )
+    from yolofastest_tpu.ops import batched_nms, decode_heads
+    from yolofastest_tpu.quant import calibrate, quantize_weights, quantized_apply
+    from yolofastest_tpu.quant.ptq import quantized_apply_fused
+
+    cfg = get_config(res)
+    io = cfg.io
+    fx = np.load(os.path.join(FIXTURES, f"golden_{res}.npz"))
+    imgs = (fx["pre_imgs"].astype(np.float32)[..., None] - 128.0) / 255.0
+    golden = fx["boxes"]
+
+    variables = jax.tree.map(jnp.asarray, load_variables(zoo_path(res)))
+    folded = fold_batchnorm(jax.device_get(variables))
+    qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
+    scales = calibrate(folded, [imgs[:8]])
+
+    def post(heads):
+        b, c, s, ci, v = decode_heads(heads, io.anchors, io.input_hw,
+                                      io.conf_thre, io.max_decode)
+        return batched_nms(b, c, s, ci, v, iou_thre=io.nms_thre,
+                           max_det=io.max_det)
+
+    def make_jax(dtype):
+        model = YoloFastest(num_cls=io.num_cls, num_anchors=io.num_anchors,
+                            compute_dtype=dtype)
+
+        @jax.jit
+        def fn(x):
+            return post(model.apply(variables, x, train=False))
+        return fn
+
+    backends = {
+        "jax-fp32": make_jax(jnp.float32),
+        "jax-bf16": make_jax(jnp.bfloat16),
+        "int8": jax.jit(lambda x: post(quantized_apply(qparams, scales, x))),
+        "int8-fused": jax.jit(lambda x: post(quantized_apply_fused(qparams, scales, x))),
+    }
+
+    results = {}
+    x = jnp.asarray(imgs)
+    for name, fn in backends.items():
+        det = jax.tree.map(np.asarray, fn(x))  # warm
+        t0 = time.perf_counter()
+        det = jax.tree.map(np.asarray, fn(x))
+        dt = (time.perf_counter() - t0) * 1e3 / len(imgs)
+        m, n = recall_vs_golden(det, golden)
+        results[name] = {"recall": f"{m}/{n}", "ms_per_img_batched": round(dt, 3)}
+        print(f"[{res}] {name}: recall {m}/{n}, {dt:.2f} ms/img (batch-20)")
+
+    # native C++ engine
+    lib = os.path.join(REPO, "cpp", "build", "libyf.so")
+    if os.path.exists(lib):
+        from yolofastest_tpu.export import save_native_weights
+        from yolofastest_tpu.native import NativeEngine
+
+        yfb = os.path.join(out_dir, f"model_{res}.yfb")
+        save_native_weights(folded, yfb)
+        eng = NativeEngine(yfb, cfg)
+        matched = total_ms = 0
+        for b in range(len(imgs)):
+            t0 = time.perf_counter()
+            rows = eng.detect(imgs[b])
+            total_ms += (time.perf_counter() - t0) * 1e3
+            want = golden[golden[:, 0] == b]
+            for w in want:
+                matched += any(
+                    int(r[6]) == int(w[7]) and iou(r[:4], w[1:5]) > 0.5 for r in rows
+                )
+        results["native-cpp"] = {
+            "recall": f"{matched}/{len(golden)}",
+            "ms_per_img": round(total_ms / len(imgs), 2),
+        }
+        print(f"[{res}] native-cpp: recall {matched}/{len(golden)}, "
+              f"{total_ms/len(imgs):.2f} ms/img (single-image)")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="golden_suite_results")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    table = {}
+    for res in ("256x320", "512x640"):
+        table[res] = run_resolution(res, args.out)
+    path = os.path.join(args.out, "summary.json")
+    with open(path, "w") as f:
+        json.dump(table, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

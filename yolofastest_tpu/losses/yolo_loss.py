@@ -119,50 +119,61 @@ def build_targets(
     tw_val = jnp.log(gw / best_aw + 1e-16)
     th_val = jnp.log(gh / best_ah + 1e-16)
 
-    def assign_one(tgt_slice):
-        """Single-image sequential assignment via fori_loop (exact reference
-        ordering: later GTs overwrite earlier on collisions)."""
-        (gi_i, gj_i, act_i, ign_i, bn_i, txv, tyv, twv, thv, cid) = tgt_slice
-        mask = jnp.zeros((na, h, w), jnp.float32)
-        noobj = jnp.ones((na, h, w), jnp.float32)
-        tx = jnp.zeros((na, h, w), jnp.float32)
-        ty = jnp.zeros((na, h, w), jnp.float32)
-        tw = jnp.zeros((na, h, w), jnp.float32)
-        th = jnp.zeros((na, h, w), jnp.float32)
-        tcls = jnp.zeros((na, h, w, num_cls), jnp.float32)
+    # ---- fully vectorised scatter (no per-box loop) -------------------------
+    # The reference loop writes boxes in order, so on cell collisions the
+    # LAST active box wins.  We reproduce that deterministically by dropping
+    # every write that a later active box to the same cell supersedes, then
+    # doing ONE scatter with unique indices per image.  (A vmapped 64-step
+    # scatter loop measured ~200x slower on TPU.)
+    size = na * h * w
+    cell = (best_n * h + gj) * w + gi  # (B, T) flat (a, j, i) index
+    later = jnp.triu(jnp.ones((t, t), bool), 1)[None]  # t' > t
+    same = cell[:, :, None] == cell[:, None, :]
+    superseded = jnp.any(same & later & active[:, None, :], axis=2)
+    write = active & ~superseded  # (B, T) unique-cell writes
 
-        def body(k, state):
-            mask, noobj, tx, ty, tw, th, tcls = state
-            a = act_i[k]
-            i_, j_ = gi_i[k], gj_i[k]
-            # noobj[all anchors with iou>thr, gj, gi] = 0
-            col = noobj[:, j_, i_]
-            noobj = noobj.at[:, j_, i_].set(jnp.where(a & ign_i[k], 0.0, col))
-            bn = bn_i[k]
+    # Masked-out writes are routed to one global dump slot past the end.
+    batch_off = (jnp.arange(b, dtype=jnp.int32) * (size + 1))[:, None]
+    flat_idx = jnp.where(write, cell + batch_off, b * (size + 1))
+    flat_idx = flat_idx.reshape(-1)
 
-            def put(arr, val):
-                old = arr[bn, j_, i_]
-                return arr.at[bn, j_, i_].set(jnp.where(a, val, old))
+    def scatter_set(vals, init=0.0, depth=None):
+        shape = (b * (size + 1) + 1,) if depth is None else (b * (size + 1) + 1, depth)
+        arr = jnp.full(shape, init, jnp.float32)
+        arr = arr.at[flat_idx].set(vals.reshape((-1,) if depth is None else (-1, depth)))
+        out = arr[: b * (size + 1)].reshape((b, size + 1) if depth is None else (b, size + 1, depth))
+        out = out[:, :size]
+        return out.reshape((b, na, h, w) if depth is None else (b, na, h, w, depth))
 
-            mask = put(mask, 1.0)
-            tx = put(tx, txv[k])
-            ty = put(ty, tyv[k])
-            tw = put(tw, twv[k])
-            th = put(th, thv[k])
-            oh = jax.nn.one_hot(cid[k], num_cls, dtype=jnp.float32)
-            old_c = tcls[bn, j_, i_]
-            tcls = tcls.at[bn, j_, i_].set(jnp.where(a, oh, old_c))
-            return mask, noobj, tx, ty, tw, th, tcls
+    mask = scatter_set(write.astype(jnp.float32))
+    tx = scatter_set(tx_val)
+    ty = scatter_set(ty_val)
+    tw = scatter_set(tw_val)
+    th = scatter_set(th_val)
+    onehot = jax.nn.one_hot(cls_id, num_cls, dtype=jnp.float32)  # (B, T, C)
+    tcls = scatter_set(onehot, depth=num_cls)
 
-        return jax.lax.fori_loop(
-            0, t, body, (mask, noobj, tx, ty, tw, th, tcls)
-        )
+    # noobj: 0 wherever ANY active box's shape-IOU exceeds the ignore
+    # threshold at (a, gj, gi) — order-independent, scatter-min over all
+    # (box, anchor) taps (the reference zeroes every anchor above threshold,
+    # yolo_loss.py:180).
+    anchor_cell = (jnp.arange(na, dtype=jnp.int32)[None, None] * h + gj[:, :, None]) * w + gi[:, :, None]
+    tap = active[:, :, None] & ignore  # (B, T, A)
+    noobj_idx = jnp.where(tap, anchor_cell + batch_off[:, :, None], b * (size + 1))
+    noobj_arr = jnp.ones((b * (size + 1) + 1,), jnp.float32)
+    noobj_arr = noobj_arr.at[noobj_idx.reshape(-1)].min(0.0)
+    noobj = noobj_arr[: b * (size + 1)].reshape(b, size + 1)[:, :size]
+    noobj = noobj.reshape(b, na, h, w)
 
-    out = jax.vmap(assign_one)(
-        (gi, gj, active, ignore, best_n, tx_val, ty_val, tw_val, th_val, cls_id)
-    )
-    keys = ("mask", "noobj_mask", "tx", "ty", "tw", "th", "tcls")
-    return dict(zip(keys, out))
+    return {
+        "mask": mask,
+        "noobj_mask": noobj,
+        "tx": tx,
+        "ty": ty,
+        "tw": tw,
+        "th": th,
+        "tcls": tcls,
+    }
 
 
 def yolo_loss(
