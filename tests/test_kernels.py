@@ -49,6 +49,31 @@ def test_fused_chain_matches_xla(shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [
+    (2, 2, 8, 10, 48, 224),
+    (4, 1, 16, 20, 24, 136),
+])
+def test_fused_chain_rows_matches_xla(shape):
+    from yolofastest_tpu.kernels.res_block import fused_res_chain_nhwc
+
+    b, k, h, w, c, i = shape
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)) * 0.5, jnp.float32)
+    st = (
+        jnp.asarray(rng.standard_normal((k, c, i)) * 0.2, jnp.float32),
+        jnp.asarray(rng.standard_normal((k, i)) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal((k, 3, 3, i)) * 0.2, jnp.float32),
+        jnp.asarray(rng.standard_normal((k, i)) * 0.1, jnp.float32),
+        jnp.asarray(rng.standard_normal((k, i, c)) * 0.2, jnp.float32),
+        jnp.asarray(rng.standard_normal((k, c)) * 0.1, jnp.float32),
+    )
+    ref = x
+    for j in range(k):
+        ref = xla_res(ref, st[0][j], st[1][j], st[2][j], st[3][j], st[4][j], st[5][j])
+    got = fused_res_chain_nhwc(x, *st, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
 def test_chain_weights_from_folded_shapes():
     c, i = 8, 32
     folded = {}
