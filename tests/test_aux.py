@@ -1,0 +1,65 @@
+"""Aux subsystems: profiling timer, metrics writer, non-finite step skipping."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_section_timer_reports():
+    import time
+
+    from yolofastest_tpu.utils.profiling import SectionTimer
+
+    t = SectionTimer()
+    for _ in range(3):
+        with t.section("work"):
+            time.sleep(0.002)
+    rep = t.report()
+    assert rep["work"]["count"] == 3
+    assert rep["work"]["avg_ms"] >= 1.0
+
+
+def test_metrics_writer_jsonl(tmp_path):
+    from yolofastest_tpu.utils.metrics import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path), tensorboard=False)
+    w(1, {"loss": 2.5, "lr": 1e-3})
+    w(2, {"loss": 2.0, "lr": 1e-3})
+    w.close()
+    lines = open(tmp_path / "metrics.jsonl").read().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[1])
+    assert rec["step"] == 2 and rec["loss"] == 2.0
+
+
+def test_trainer_skips_nonfinite_gradients():
+    """A poisoned batch (inf pixels -> non-finite loss/grads) must not corrupt
+    the parameters; apply_if_finite skips the update on device."""
+    import jax
+
+    from tests.test_train import tiny_config
+    from yolofastest_tpu.train import Trainer
+
+    cfg = tiny_config()
+    trainer = Trainer(cfg, batch_per_epoch=10, seed=0)
+    rng = np.random.default_rng(0)
+    good = rng.standard_normal((8, 64, 96, 1)).astype(np.float32) * 0.2
+    tgts = np.zeros((8, cfg.train.max_boxes, 6), np.float32)
+    tgts[:, 0] = [0.5, 0.5, 0.25, 0.25, 1, 255.0]
+
+    trainer.step(good, tgts)
+    params_before = jax.device_get(trainer.state.params)
+
+    bad = good.copy()
+    bad[0, 0, 0, 0] = np.inf
+    m = trainer.step(bad, tgts)
+    assert int(m["skipped_nonfinite"]) >= 1
+
+    params_after = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree.leaves(params_before), jax.tree.leaves(params_after)):
+        np.testing.assert_array_equal(a, b)  # update skipped, params intact
+        assert np.isfinite(b).all()
+
+    m = trainer.step(good, tgts)  # training continues normally
+    assert np.isfinite(float(m["total"]))

@@ -94,6 +94,9 @@ def make_train_step(
         )
         metrics = dict(comps)
         metrics["lr"] = lr_schedule(state.step)
+        # optax.apply_if_finite bookkeeping: how many updates were skipped
+        # because of non-finite gradients (0 in healthy training).
+        metrics["skipped_nonfinite"] = new_opt.total_notfinite
         return new_state, metrics
 
     return train_step
@@ -145,8 +148,12 @@ class Trainer:
         self.lr_schedule = make_lr_schedule(
             tr.lr0, tr.total_epochs, batch_per_epoch, tr.warmup_min_iters
         )
-        self.tx = optax.adam(
-            learning_rate=self.lr_schedule, b1=0.9, b2=0.999, eps=1e-8
+        # Failure detection the reference lacks (SURVEY.md §5): non-finite
+        # gradient steps are skipped ON DEVICE (no host sync); training only
+        # aborts after `max_nonfinite_skips` consecutive bad steps.
+        self.tx = optax.apply_if_finite(
+            optax.adam(learning_rate=self.lr_schedule, b1=0.9, b2=0.999, eps=1e-8),
+            max_consecutive_errors=10,
         )
 
         replicated = NamedSharding(mesh, P())
