@@ -1,0 +1,40 @@
+"""StreamingDetector: ordered results, parity with the one-shot pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yolofastest_tpu.configs import get_config
+from yolofastest_tpu.inference import Detector, StreamingDetector
+from yolofastest_tpu.models import load_variables, zoo_path
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_streaming_matches_oneshot():
+    if not os.path.exists(zoo_path("256x320")):
+        pytest.skip("zoo weights not present")
+    import jax.numpy as jnp
+
+    cfg = get_config("256x320")
+    variables = load_variables(zoo_path("256x320"))
+    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    frames = fx["pre_imgs"]  # (20, H, W) uint8
+
+    stream = StreamingDetector(cfg, variables, compute_dtype=jnp.float32)
+    batches = [frames[i:i + 4] for i in range(0, 20, 4)]
+    outs = list(stream(batches))
+    assert len(outs) == 5
+
+    det = Detector(cfg, variables=variables)
+    imgs = (frames.astype(np.float32)[..., None] - 128.0) / 255.0
+    ref = det.run(jnp.asarray(imgs))
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+
+    got_counts = np.concatenate([o["count"] for o in outs])
+    np.testing.assert_array_equal(got_counts, ref["count"])
+    got_boxes = np.concatenate([o["boxes"] for o in outs])
+    for b in range(20):
+        n = int(ref["count"][b])
+        np.testing.assert_allclose(got_boxes[b, :n], ref["boxes"][b, :n], atol=1.0)

@@ -1,3 +1,4 @@
 from yolofastest_tpu.inference.detector import Detector, detections_to_lists
+from yolofastest_tpu.inference.streaming import StreamingDetector
 
-__all__ = ["Detector", "detections_to_lists"]
+__all__ = ["Detector", "StreamingDetector", "detections_to_lists"]
