@@ -61,6 +61,18 @@ def test_folded_graph_matches_flax_model(setup):
                                rtol=1e-4, atol=2e-4)
 
 
+def test_lite_folded_graph_matches_flax_model():
+    from yolofastest_tpu.models import YoloFastestLite, folded_apply_lite
+
+    model = YoloFastestLite(num_cls=3, num_anchors=3)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 96, 1)) * 0.3
+    variables = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(variables, x, train=False)
+    folded = fold_batchnorm(jax.tree.map(np.asarray, variables))
+    got = jax.jit(folded_apply_lite)(folded, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_folded_graph_matches_reference_logits(setup):
     variables, fx, imgs = setup
     folded = fold_batchnorm(variables)

@@ -6,7 +6,13 @@ from yolofastest_tpu.models.yolo_fastest import (
     YoloFastestLite,
 )
 from yolofastest_tpu.models.torch_io import load_torch_checkpoint
-from yolofastest_tpu.models.graph import fold_batchnorm, folded_apply, walk_topology
+from yolofastest_tpu.models.graph import (
+    fold_batchnorm,
+    folded_apply,
+    folded_apply_lite,
+    walk_topology,
+    walk_topology_lite,
+)
 from yolofastest_tpu.models.zoo import load_variables, save_variables, zoo_path
 
 __all__ = [

@@ -148,6 +148,62 @@ def walk_topology(x, ex: Executor) -> Tuple[Any, Any]:
     return head_large, head_small
 
 
+def walk_topology_lite(x, ex: Executor):
+    """Single-head YOLO-Fastest-lite layer graph (reference
+    yolo_fastest.py:310-372, with the skipped-conv3_3 and head-width bugs
+    fixed — SURVEY.md §7).  Returns head_small only."""
+
+    def res(x, name):
+        y = ex.conv(x, f"{name}/conv1", 1)
+        y = ex.conv(y, f"{name}/conv2", 3, depthwise=True)
+        y = ex.conv(y, f"{name}/conv3", 1, act=False)
+        return ex.add(y, x)
+
+    x = ex.conv(x, "conv0", 3, 2)
+    x = ex.conv(x, "conv1_2", 1)
+    x = ex.conv(x, "conv1_3", 3, depthwise=True)
+    x = ex.conv(x, "conv1_4", 1, act=False)
+    x = res(x, "res1_1")
+    x = ex.conv(x, "conv1_8", 1)
+    x = ex.conv(x, "conv1_9", 3, 2)
+    x = ex.conv(x, "conv2_1", 1, act=False)
+    x = res(x, "res2_1")
+    x = res(x, "res2_2")
+    x = ex.conv(x, "conv2_2", 1)
+    x = ex.conv(x, "conv2_3", 3, 2, depthwise=True)
+    x = ex.conv(x, "conv3_1", 1, act=False)
+    x = res(x, "res3_1")
+    x = res(x, "res3_2")
+    x = ex.conv(x, "conv3_2", 1)
+    x = ex.conv(x, "conv3_3", 3, depthwise=True)
+    x = ex.conv(x, "conv3_4", 1, act=False)
+    x = res(x, "res3_3")
+    x = res(x, "res3_4")
+    x = res(x, "res3_5")
+    x = res(x, "res3_6")
+    x = ex.conv(x, "conv3_5", 1)
+    x = ex.conv(x, "conv3_6", 3, 2, depthwise=True)
+    x = ex.conv(x, "conv4_1", 1, act=False)
+    x = res(x, "res4_1")
+    x = res(x, "res4_2")
+    x = res(x, "res4_3")
+    x = res(x, "res4_4")
+    x = ex.conv(x, "conv4_2", 1)
+    x = ex.conv(x, "conv4_3", 3, 2, depthwise=True)
+    x = ex.conv(x, "conv5_1", 1)
+    x = res(x, "res5_1")
+    x = res(x, "res5_2")
+    x = res(x, "res5_3")
+    x = res(x, "res5_4")
+    x = res(x, "res5_5")
+    x = ex.conv(x, "conv5_2", 1)
+    x = ex.conv(x, "conv5_3", 5, depthwise=True)
+    x = ex.conv(x, "conv5_4", 1, act=False)
+    x = ex.conv(x, "conv5_5", 5, depthwise=True)
+    x = ex.conv(x, "conv5_6", 1, act=False)
+    return ex.head(x, "head_5")
+
+
 # ----------------------------------------------------------------- fp executor
 class FoldedExecutor(Executor):
     """Float (fp32/bf16) folded inference — conv + bias + optional ReLU."""
@@ -195,3 +251,8 @@ class FoldedExecutor(Executor):
 def folded_apply(folded: Dict[str, Dict[str, Any]], x, compute_dtype=jnp.float32):
     """Run the folded deployment graph: (B,H,W,1) -> (head_large, head_small)."""
     return walk_topology(x, FoldedExecutor(folded, compute_dtype))
+
+
+def folded_apply_lite(folded: Dict[str, Dict[str, Any]], x, compute_dtype=jnp.float32):
+    """Run the folded lite graph: (B,H,W,1) -> head_small."""
+    return walk_topology_lite(x, FoldedExecutor(folded, compute_dtype))
