@@ -70,7 +70,7 @@ def test_lite_folded_graph_matches_flax_model():
     ref = model.apply(variables, x, train=False)
     folded = fold_batchnorm(jax.tree.map(np.asarray, variables))
     got = jax.jit(folded_apply_lite)(folded, x)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=5e-3)
 
 
 def test_folded_graph_matches_reference_logits(setup):
