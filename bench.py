@@ -45,15 +45,22 @@ def main():
                                jnp.zeros((1, *io.input_hw, 1), jnp.float32),
                                train=False)
 
+    # Deployment graph: BN folded into the convs (models/graph.py) — the
+    # analogue of the reference's converted ncnn/rknn networks.
+    from yolofastest_tpu.models import fold_batchnorm, folded_apply
+
+    folded = jax.tree.map(jnp.asarray, fold_batchnorm(jax.device_get(variables)))
+
     @jax.jit
-    def pipeline(variables, frames):
+    def pipeline(folded, frames):
         imgs = normalize(frames, jnp.bfloat16)[..., None]
-        heads = model.apply(variables, imgs, train=False)
+        heads = folded_apply(folded, imgs, jnp.bfloat16)
         boxes, conf, cls_score, cls_idx, valid = decode_heads(
             heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
         )
         return batched_nms(boxes, conf, cls_score, cls_idx, valid,
                            iou_thre=io.nms_thre, max_det=io.max_det)
+    variables = folded
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
@@ -88,22 +95,24 @@ def main():
     model512 = YoloFastest(num_cls=3, num_anchors=3, compute_dtype=jnp.bfloat16)
     ckpt512 = "/root/reference/models/pytorch/512x640/YOLO-Fastest_epoch_27.pth"
     if os.path.exists(ckpt512):
-        variables512 = jax.tree.map(jnp.asarray, load_torch_checkpoint(ckpt512))
+        variables512 = load_torch_checkpoint(ckpt512)
     else:
-        variables512 = model512.init(
+        variables512 = jax.device_get(model512.init(
             jax.random.PRNGKey(0), jnp.zeros((1, *cfg512.io.input_hw, 1), jnp.float32),
-            train=False)
+            train=False))
+    folded512 = jax.tree.map(jnp.asarray, fold_batchnorm(variables512))
 
     @jax.jit
-    def pipeline512(variables, frames):
+    def pipeline512(folded, frames):
         io5 = cfg512.io
         imgs = normalize(frames, jnp.bfloat16)[..., None]
-        heads = model512.apply(variables, imgs, train=False)
+        heads = folded_apply(folded, imgs, jnp.bfloat16)
         boxes, conf, cls_score, cls_idx, valid = decode_heads(
             heads, io5.anchors, io5.input_hw, io5.conf_thre, io5.max_decode
         )
         return batched_nms(boxes, conf, cls_score, cls_idx, valid,
                            iou_thre=io5.nms_thre, max_det=io5.max_det)
+    variables512 = folded512
 
     frames512 = jax.device_put(
         jnp.asarray(rng.integers(0, 256, (256, *cfg512.io.input_hw), np.uint8))

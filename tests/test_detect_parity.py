@@ -21,11 +21,36 @@ REF_PTH = {
 }
 
 
-def _detector(res):
+def _detector(res, fold_bn=False):
     from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.inference import Detector
 
-    return Detector(get_config(res), torch_checkpoint=REF_PTH[res])
+    return Detector(get_config(res), torch_checkpoint=REF_PTH[res],
+                    fold_bn=fold_bn)
+
+
+def test_detect_parity_folded_graph():
+    """The fold_bn deployment mode must reproduce the same golden boxes."""
+    if not os.path.exists(REF_PTH["256x320"]):
+        pytest.skip("reference checkpoint not mounted")
+    import numpy as _np
+
+    from yolofastest_tpu.inference import detections_to_lists
+
+    fx = _np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    det = _detector("256x320", fold_bn=True)
+    imgs = fx["pre_imgs"].astype(_np.float32)[..., None]
+    out = det.run(jnp.asarray((imgs - 128.0) / 255.0))
+    rows = detections_to_lists(out)
+    golden = fx["boxes"]
+    found = 0
+    for g in golden:
+        b = int(g[0])
+        found += any(
+            int(r[6]) == int(g[7]) and max(abs(_np.array(r[:4]) - g[1:5])) <= 1.0
+            for r in rows[b]
+        )
+    assert found == len(golden)
 
 
 @pytest.mark.parametrize("res", ["256x320", "512x640"])

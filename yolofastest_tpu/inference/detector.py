@@ -50,6 +50,7 @@ class Detector:
         torch_checkpoint: Optional[str] = None,
         compute_dtype=jnp.float32,
         logger=None,
+        fold_bn: bool = False,
     ):
         if variables is None:
             if torch_checkpoint is None:
@@ -66,9 +67,25 @@ class Detector:
 
         io = config.io
 
+        if fold_bn:
+            # Deployment mode: run the BN-folded graph (the converted-model
+            # analogue, models/graph.py) — skips the BN arithmetic entirely.
+            from yolofastest_tpu.models import fold_batchnorm, folded_apply
+
+            folded = jax.tree.map(
+                jnp.asarray, fold_batchnorm(jax.device_get(self.variables))
+            )
+            self.variables = folded
+
+            def _apply(variables, images):
+                return folded_apply(variables, images, compute_dtype)
+        else:
+            def _apply(variables, images):
+                return self.model.apply(variables, images, train=False)
+
         @jax.jit
         def _run(variables, images):
-            heads = self.model.apply(variables, images, train=False)
+            heads = _apply(variables, images)
             boxes, conf, cls_score, cls_idx, valid = decode_heads(
                 heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
             )
