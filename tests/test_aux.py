@@ -33,6 +33,18 @@ def test_metrics_writer_jsonl(tmp_path):
     assert rec["step"] == 2 and rec["loss"] == 2.0
 
 
+def test_checkpoint_rotation(tmp_path):
+    from tests.test_train import tiny_config
+    from yolofastest_tpu.train import Trainer
+
+    cfg = tiny_config()
+    trainer = Trainer(cfg, batch_per_epoch=10, seed=0)
+    for e in range(4):
+        trainer.save_checkpoint(str(tmp_path), e, max_to_keep=2)
+    kept = sorted(d for d in os.listdir(tmp_path) if d.startswith("epoch_"))
+    assert kept == ["epoch_2", "epoch_3"]
+
+
 def test_trainer_skips_nonfinite_gradients():
     """A poisoned batch (inf pixels -> non-finite loss/grads) must not corrupt
     the parameters; apply_if_finite skips the update on device."""

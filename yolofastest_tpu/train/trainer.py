@@ -242,15 +242,29 @@ class Trainer:
         return history
 
     # ----------------------------------------------------------- checkpoints
-    def save_checkpoint(self, directory: str, epoch: int) -> str:
+    def save_checkpoint(self, directory: str, epoch: int,
+                        max_to_keep: Optional[int] = None) -> str:
         """Full-state orbax checkpoint: params + BN stats + opt state + step
-        (the reference saves weights only, train.py:160)."""
+        (the reference saves weights only, train.py:160).  With
+        ``max_to_keep``, older ``epoch_*`` checkpoints are rotated out (the
+        reference keeps all 30)."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(directory, f"epoch_{epoch}"))
         ckpt = ocp.StandardCheckpointer()
         ckpt.save(path, jax.device_get(self.state), force=True)
         ckpt.wait_until_finished()
+        if max_to_keep:
+            import re
+            import shutil
+
+            kept = sorted(
+                (int(m.group(1)), d)
+                for d in os.listdir(directory)
+                if (m := re.fullmatch(r"epoch_(\d+)", d))
+            )
+            for _, d in kept[:-max_to_keep]:
+                shutil.rmtree(os.path.join(directory, d), ignore_errors=True)
         return path
 
     def restore_checkpoint(self, path: str) -> None:
