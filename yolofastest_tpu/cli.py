@@ -80,13 +80,15 @@ def cmd_detect(args) -> int:
     from yolofastest_tpu.inference import Detector
 
     variables = _load_weights(args.weights)
-    if args.backend == "int8":
+    if args.backend in ("int8", "int8-fused"):
         import jax
         import jax.numpy as jnp
 
         from yolofastest_tpu.models import fold_batchnorm
         from yolofastest_tpu.quant import calibrate, quantize_weights, quantized_apply
+        from yolofastest_tpu.quant.ptq import quantized_apply_fused
 
+        apply_fn = quantized_apply_fused if args.backend == "int8-fused" else quantized_apply
         folded = fold_batchnorm(variables)
         qparams = quantize_weights(folded)
         # calibrate on the first few images of the target directory
@@ -102,7 +104,7 @@ def cmd_detect(args) -> int:
         detector = Detector(cfg, variables=variables, logger=logger)
 
         def _run(variables_unused, images):
-            heads = quantized_apply(qparams, scales, images)
+            heads = apply_fn(qparams, scales, images)
             from yolofastest_tpu.ops import batched_nms, decode_heads
 
             io = cfg.io
@@ -248,7 +250,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
     d.add_argument("--data", required=True)
     d.add_argument("--out", required=True)
-    d.add_argument("--backend", default="jax", choices=["jax", "native", "int8"])
+    d.add_argument("--backend", default="jax",
+                   choices=["jax", "native", "int8", "int8-fused"])
     d.set_defaults(fn=cmd_detect)
 
     t = sub.add_parser("train", help="train on a VOC-XML dataset")
