@@ -117,7 +117,8 @@ def cmd_detect(args) -> int:
         detector.batch_detect(args.data, args.out)
         return 0
 
-    detector = Detector(cfg, variables=variables, logger=logger)
+    detector = Detector(cfg, variables=variables, logger=logger,
+                        fold_bn=args.fold_bn)
     detector.batch_detect(args.data, args.out)
     return 0
 
@@ -252,6 +253,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--out", required=True)
     d.add_argument("--backend", default="jax",
                    choices=["jax", "native", "int8", "int8-fused"])
+    d.add_argument("--fold-bn", action="store_true",
+                   help="run the BN-folded deployment graph (jax backend)")
     d.set_defaults(fn=cmd_detect)
 
     t = sub.add_parser("train", help="train on a VOC-XML dataset")

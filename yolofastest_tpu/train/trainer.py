@@ -84,6 +84,13 @@ def make_train_step(
         (loss, (comps, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        # apply_if_finite protects params/opt state, but the BN running
+        # stats mutate in the forward pass — reject them too on a
+        # non-finite step, or one poisoned batch NaNs every later eval.
+        finite = jnp.isfinite(loss)
+        new_stats = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o), new_stats, state.batch_stats
+        )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -148,12 +155,15 @@ class Trainer:
         self.lr_schedule = make_lr_schedule(
             tr.lr0, tr.total_epochs, batch_per_epoch, tr.warmup_min_iters
         )
-        # Failure detection the reference lacks (SURVEY.md §5): non-finite
-        # gradient steps are skipped ON DEVICE (no host sync); training only
-        # aborts after `max_nonfinite_skips` consecutive bad steps.
+        # Failure detection/containment the reference lacks (SURVEY.md §5):
+        # global-norm gradient clipping + non-finite steps skipped ON DEVICE
+        # (no host sync).
+        inner = [optax.adam(learning_rate=self.lr_schedule, b1=0.9, b2=0.999,
+                            eps=1e-8)]
+        if tr.grad_clip_norm and tr.grad_clip_norm > 0:
+            inner.insert(0, optax.clip_by_global_norm(tr.grad_clip_norm))
         self.tx = optax.apply_if_finite(
-            optax.adam(learning_rate=self.lr_schedule, b1=0.9, b2=0.999, eps=1e-8),
-            max_consecutive_errors=10,
+            optax.chain(*inner), max_consecutive_errors=10
         )
 
         replicated = NamedSharding(mesh, P())
