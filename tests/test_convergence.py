@@ -15,40 +15,35 @@ from yolofastest_tpu.train import Trainer
 
 
 @pytest.mark.slow
-def test_training_converges_on_synthetic_data(tmp_path):
+def test_training_overfits_single_batch(tmp_path):
+    """Single-batch overfit: 400 steps must drive loss below 0.6 and mAP on
+    that batch above 0.5 (measured 0.80 at this config on TPU).  The classic
+    end-to-end correctness check for the whole loss/optimizer/assignment
+    stack — random init scores mAP ~0."""
     import dataclasses
 
     cfg = tiny_config()
     cfg = dataclasses.replace(
         cfg, io=dataclasses.replace(cfg.io, conf_thre=0.25),
-        train=dataclasses.replace(cfg.train, total_epochs=30, lr0=2e-3,
-                                  warmup_min_iters=10),
+        train=dataclasses.replace(cfg.train, total_epochs=1000, lr0=5e-3,
+                                  warmup_min_iters=20, grad_clip_norm=0.0),
     )
     root = str(tmp_path / "voc")
-    make_dataset(root, 64, cfg, seed=7)
+    make_dataset(root, 8, cfg, seed=7)
     idx = VOCIndex(root, cfg.io.class_names)
-    loader = DetectionLoader(idx, cfg, batch_size=16, seed=1)
+    loader = DetectionLoader(idx, cfg, batch_size=8, augment=False,
+                             shuffle=False, seed=1)
+    imgs, tgts = next(iter(loader))
 
-    trainer = Trainer(cfg, batch_per_epoch=len(loader), seed=0)
-    first_losses, last_losses = [], []
-    n_epochs = 30
-    for epoch in range(n_epochs):
-        for imgs, tgts in loader:
-            m = trainer.step(imgs, tgts)
-            if epoch == 0:
-                first_losses.append(float(m["total"]))
-            elif epoch == n_epochs - 1:
-                last_losses.append(float(m["total"]))
+    trainer = Trainer(cfg, batch_per_epoch=1, seed=0)
+    first = float(trainer.step(imgs, tgts)["total"])
+    for _ in range(399):
+        m = trainer.step(imgs, tgts)
+    last = float(m["total"])
+    assert last < 0.6, f"loss did not overfit: {first:.3f} -> {last:.3f}"
 
-    assert np.mean(last_losses) < 0.5 * np.mean(first_losses), (
-        f"loss did not drop: {np.mean(first_losses):.3f} -> {np.mean(last_losses):.3f}"
-    )
-
-    # train-set mAP must be far above chance (random init scores ~0)
-    eval_loader = DetectionLoader(idx, cfg, batch_size=16, augment=False,
-                                  shuffle=False)
-    mAP = MAPEvaluator(cfg, eval_loader)(trainer.variables, epoch=n_epochs)
-    assert mAP > 0.2, f"train-set mAP only {mAP:.3f} after {n_epochs} epochs"
+    mAP = MAPEvaluator(cfg, [(imgs, tgts)])(trainer.variables, epoch=400)
+    assert mAP > 0.5, f"single-batch mAP only {mAP:.3f} after 400 steps"
 
 
 def test_training_is_seed_reproducible():
