@@ -81,6 +81,17 @@ def dataset(tmp_path_factory):
     return str(root), cfg
 
 
+def test_loader_parallel_decode_matches_serial(dataset):
+    root, cfg = dataset
+    idx = VOCIndex(root, cfg.io.class_names)
+    a = next(iter(DetectionLoader(idx, cfg, batch_size=8, augment=False,
+                                  shuffle=False, num_workers=0)))
+    b = next(iter(DetectionLoader(idx, cfg, batch_size=8, augment=False,
+                                  shuffle=False, num_workers=4)))
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
 def test_loader_shapes_and_format(dataset):
     root, cfg = dataset
     idx = VOCIndex(root, cfg.io.class_names)

@@ -108,6 +108,7 @@ class DetectionLoader:
         shuffle: bool = True,
         seed: int = 0,
         prefetch: int = 4,
+        num_workers: int = 0,
     ):
         self.index = index
         self.config = config
@@ -116,6 +117,9 @@ class DetectionLoader:
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
+        # >0: decode images of a batch in a thread pool (cv2 releases the
+        # GIL); the reference's DataLoader ran with num_workers=0.
+        self.num_workers = num_workers
 
     def __len__(self) -> int:  # batches per epoch (drop_last=True, train.py:72)
         return len(self.index) // self.batch_size
@@ -125,9 +129,23 @@ class DetectionLoader:
         b = len(idxs)
         imgs = np.empty((b, *io.input_hw, io.input_channels), np.float32)
         tgts = np.empty((b, self.config.train.max_boxes, 6), np.float32)
-        for k, i in enumerate(idxs):
+
+        def load_one(k, i, item_rng):
             path, labels = self.index[i]
-            imgs[k], tgts[k] = load_example(path, labels, self.config, rng, self.augment)
+            imgs[k], tgts[k] = load_example(path, labels, self.config,
+                                            item_rng, self.augment)
+
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # per-item child rngs keep augmentation deterministic regardless
+            # of worker scheduling
+            child = rng.spawn(b)
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                list(pool.map(lambda t: load_one(*t), zip(range(b), idxs, child)))
+        else:
+            for k, i in enumerate(idxs):
+                load_one(k, i, rng)
         return imgs, tgts
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
