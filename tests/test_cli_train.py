@@ -57,3 +57,35 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
     lines = open(os.path.join(log_dir, "metrics.jsonl")).read().splitlines()
     rec = json.loads(lines[-1])
     assert "total" in rec and np.isfinite(rec["total"])
+
+
+@pytest.mark.slow
+def test_cli_train_elastic_resume(tmp_path, monkeypatch):
+    """Crash-restart story: rerunning with --resume latest picks up at the
+    next epoch with the full optimizer state."""
+    import dataclasses
+
+    import yolofastest_tpu.cli as cli
+    from yolofastest_tpu import configs
+
+    cfg = tiny_config()
+    root = tmp_path / "voc"
+    make_dataset(str(root), 16, cfg, seed=5)
+    tiny = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, total_epochs=2, batch_size=8)
+    )
+    monkeypatch.setattr(configs, "get_config", lambda name="256x320", **kw: tiny)
+
+    log_dir = str(tmp_path / "logs")
+    ckpt_dir = str(tmp_path / "ckpts")
+    base = ["train", "--config", "256x320", "--train-dir", str(root),
+            "--log-dir", log_dir, "--checkpoint-dir", ckpt_dir,
+            "--batch-size", "8"]
+    assert cli.main(base + ["--epochs", "2"]) == 0
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_1"))
+
+    # "crash" after epoch 2; resume for two more epochs
+    assert cli.main(base + ["--epochs", "4", "--resume", "latest"]) == 0
+    log = open(os.path.join(log_dir, "train_info.log")).read()
+    assert "Resumed full state from" in log and "(epoch 2)" in log
+    assert os.path.isdir(os.path.join(ckpt_dir, "epoch_3"))

@@ -161,13 +161,32 @@ def cmd_train(args) -> int:
 
     trainer = Trainer(cfg, batch_per_epoch=len(loader), variables=variables,
                       logger=logger)
+    start_epoch = 0
     if args.resume:
-        trainer.restore_checkpoint(args.resume)
-        logger.info("Resumed full state from %s" % args.resume)
+        path = args.resume
+        if path == "latest":
+            # elastic restart: rerun the same command after a crash and
+            # training picks up at the next epoch with full state
+            import re
+
+            cands = sorted(
+                (int(m.group(1)), d)
+                for d in (os.listdir(args.checkpoint_dir)
+                          if os.path.isdir(args.checkpoint_dir) else [])
+                if (m := re.fullmatch(r"epoch_(\d+)", d))
+            )
+            path = os.path.join(args.checkpoint_dir, cands[-1][1]) if cands else None
+        if path:
+            trainer.restore_checkpoint(path)
+            start_epoch = int(trainer.state.step) // max(len(loader), 1)
+            logger.info("Resumed full state from %s (epoch %d)" % (path, start_epoch))
+        else:
+            logger.info("No checkpoint to resume; starting fresh")
 
     metrics = MetricsWriter(args.log_dir)
     trainer.fit(loader, validator=validator,
-                checkpoint_dir=args.checkpoint_dir, metrics_writer=metrics)
+                checkpoint_dir=args.checkpoint_dir, metrics_writer=metrics,
+                start_epoch=start_epoch)
     metrics.close()
     return 0
 
@@ -264,7 +283,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--epochs", type=int, default=None)
     t.add_argument("--batch-size", type=int, default=None)
     t.add_argument("--pretrained", default=None)
-    t.add_argument("--resume", default=None, help="orbax checkpoint dir to resume")
+    t.add_argument("--resume", default=None,
+                   help="orbax checkpoint dir to resume, or 'latest' to pick "
+                        "the newest epoch in --checkpoint-dir")
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--log-dir", default="logs")
     t.set_defaults(fn=cmd_train)
