@@ -23,8 +23,15 @@ void add_inplace(Tensor& x, const Tensor& y);
 
 class YoloFastestNet {
  public:
+  // Accepts fp32 .yfb files (fold_batchnorm export) and int8-quantised ones
+  // (quantize_weights export: kernel_q int8 + per-out-channel w_scale) —
+  // int8 kernels are dequantised at load, so the 4x-smaller artifact runs
+  // through the same engine (weight-only quantisation, the embedded
+  // model-size story).
   explicit YoloFastestNet(const std::string& weights_path)
-      : w_(load_weights(weights_path)) {}
+      : w_(load_weights(weights_path)) {
+    dequantize_int8_weights();
+  }
 
   // img: (h, w, 1) normalized floats. Outputs raw head logits,
   // head_large at stride 16, head_small at stride 32 (NHWC, A*(5+C) ch).
@@ -34,6 +41,7 @@ class YoloFastestNet {
   Tensor conv(const Tensor& x, const std::string& name, int stride = 1,
               bool depthwise = false, bool relu = true) const;
   Tensor res(Tensor x, const std::string& name) const;
+  void dequantize_int8_weights();
 
   Weights w_;
 };

@@ -17,6 +17,26 @@ const NamedTensor& get(const Weights& w, const std::string& key) {
 }
 }  // namespace
 
+void YoloFastestNet::dequantize_int8_weights() {
+  std::vector<std::pair<std::string, NamedTensor>> synthesized;
+  for (const auto& [key, t] : w_) {
+    const auto pos = key.rfind("/kernel_q");
+    if (pos == std::string::npos || t.is_f32) continue;
+    const std::string layer = key.substr(0, pos);
+    const auto& scale = w_.at(layer + "/w_scale");
+    NamedTensor deq;
+    deq.shape = t.shape;
+    deq.is_f32 = true;
+    const size_t n = t.numel();
+    const size_t cout = t.shape.back();
+    deq.f32.resize(n);
+    for (size_t i = 0; i < n; ++i)
+      deq.f32[i] = (float)t.i8[i] * scale.f32[i % cout];
+    synthesized.emplace_back(layer + "/kernel", std::move(deq));
+  }
+  for (auto& kv : synthesized) w_[kv.first] = std::move(kv.second);
+}
+
 Tensor YoloFastestNet::conv(const Tensor& x, const std::string& name, int stride,
                             bool depthwise, bool relu) const {
   return conv2d(x, get(w_, name + "/kernel"), get(w_, name + "/bias"),

@@ -62,6 +62,41 @@ def test_native_forward_matches_jax(engine):
                                    rtol=1e-4, atol=2e-3)
 
 
+def test_native_int8_weights_detections(engine, tmp_path):
+    """An int8-quantised .yfb (4x smaller artifact) through the same C++
+    engine must recover >=90% of the golden detections."""
+    from yolofastest_tpu.native import NativeEngine
+    from yolofastest_tpu.quant import quantize_weights
+
+    eng_unused, folded, cfg, res = engine
+    fx, imgs = _images(res)
+    qyfb = str(tmp_path / "model_int8.yfb")
+    save_native_weights(quantize_weights(folded), qyfb)
+    assert os.path.getsize(qyfb) < 0.5e6  # vs ~1.4 MB fp32
+    eng = NativeEngine(qyfb, cfg)
+
+    golden = fx["boxes"]
+    matched = 0
+    for b in range(len(imgs)):
+        rows = eng.detect(imgs[b])
+        want = golden[golden[:, 0] == b]
+        for w in want:
+            matched += any(
+                int(r[6]) == int(w[7])
+                and _box_iou(r[:4], w[1:5]) > 0.5
+                for r in rows
+            )
+    assert matched >= 0.9 * len(golden), f"int8 native: {matched}/{len(golden)}"
+
+
+def _box_iou(a, b):
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / max(ua, 1e-9)
+
+
 def test_native_detections_match_golden(engine):
     """C++ engine + C++ postprocess must reproduce the reference's golden
     detections on the bundled test set (same boxes +-1px, same class)."""

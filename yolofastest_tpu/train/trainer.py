@@ -140,8 +140,11 @@ class Trainer:
         tr = config.train
         self.batch_per_epoch = batch_per_epoch
 
+        from yolofastest_tpu.parallel import batch_sharding, make_mesh
+        from yolofastest_tpu.parallel import replicate as _replicate
+
         if mesh is None:
-            mesh = Mesh(np.array(jax.devices()), ("data",))
+            mesh = make_mesh()
         self.mesh = mesh
 
         self.model = YoloFastest(
@@ -166,13 +169,9 @@ class Trainer:
             optax.chain(*inner), max_consecutive_errors=10
         )
 
-        replicated = NamedSharding(mesh, P())
-        batch_axes = ("data", "spatial") if (
-            shard_spatial and "spatial" in mesh.axis_names
-        ) else ("data",)
-        img_spec = P(*batch_axes) if len(batch_axes) == 1 else P(batch_axes[0], batch_axes[1])
-        self.img_sharding = NamedSharding(mesh, img_spec)
-        self.tgt_sharding = NamedSharding(mesh, P("data"))
+        replicated = _replicate(mesh)
+        self.img_sharding = batch_sharding(mesh, spatial=shard_spatial)
+        self.tgt_sharding = batch_sharding(mesh, spatial=False)
 
         state = TrainState(
             params=variables["params"],
