@@ -29,6 +29,43 @@ def _detector(res, fold_bn=False):
                     fold_bn=fold_bn)
 
 
+def test_run_raw_matches_host_preprocess():
+    """run_raw (BGR->gray->2x resize->normalize fused on device) must produce
+    the same detections as host cv2 preprocessing + run."""
+    if not os.path.exists(REF_PTH["256x320"]):
+        pytest.skip("reference checkpoint not mounted")
+    import cv2
+    import numpy as _np
+
+    det = _detector("256x320")
+    fx = _np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    rng = _np.random.default_rng(0)
+    # synthesize 512x640 BGR frames whose gray content is the fixture images
+    frames = _np.empty((4, 512, 640, 3), _np.uint8)
+    for i in range(4):
+        up = cv2.resize(fx["pre_imgs"][i], (640, 512), interpolation=cv2.INTER_NEAREST)
+        frames[i] = cv2.cvtColor(up, cv2.COLOR_GRAY2BGR)
+        frames[i, :, :, 0] = _np.clip(frames[i, :, :, 0].astype(int) +
+                                      rng.integers(-3, 4, (512, 640)), 0, 255)
+
+    out_dev = det.run_raw(jnp.asarray(frames))
+
+    gray = _np.stack([
+        cv2.resize(cv2.cvtColor(f, cv2.COLOR_BGR2GRAY), (320, 256))
+        for f in frames
+    ])
+    imgs = (gray.astype(_np.float32)[..., None] - 128.0) / 255.0
+    out_host = det.run(jnp.asarray(imgs))
+
+    _np.testing.assert_array_equal(_np.asarray(out_dev["count"]),
+                                   _np.asarray(out_host["count"]))
+    for b in range(4):
+        n = int(_np.asarray(out_host["count"])[b])
+        _np.testing.assert_allclose(_np.asarray(out_dev["boxes"])[b, :n],
+                                    _np.asarray(out_host["boxes"])[b, :n],
+                                    atol=1.0)
+
+
 def test_detect_parity_folded_graph():
     """The fold_bn deployment mode must reproduce the same golden boxes."""
     if not os.path.exists(REF_PTH["256x320"]):
