@@ -33,6 +33,18 @@ def test_txt2xml_roundtrip(tmp_path):
     np.testing.assert_allclose(labels[0], [0, 80, 30, 120, 70], atol=0.5)
 
 
+def test_txt2xml_rejects_unreadable_image(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "bad.jpg").write_bytes(b"not a jpeg")
+    (src / "bad.txt").write_text("0 0.5 0.5 0.2 0.4\n")
+
+    from yolofastest_tpu.data.txt2xml import convert_txt_dataset
+
+    with pytest.raises(FileNotFoundError, match="cannot decode"):
+        convert_txt_dataset(str(src), str(tmp_path / "voc"))
+
+
 def test_cli_detect_native(tmp_path):
     if not os.path.exists(zoo_path("256x320")):
         pytest.skip("zoo weights not present")

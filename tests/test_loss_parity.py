@@ -73,6 +73,34 @@ def test_decode_for_eval_matches_reference(golden, scale):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_tcls_sticky_on_cell_collision():
+    """Reference semantics: ``tcls[b,best_n,gj,gi,cls] = 1`` is never reset
+    (yolo_loss.py:189), so two colliding GTs of different classes BOTH set
+    their class bit, while tx/ty/tw/th keep the LAST box's values."""
+    from yolofastest_tpu.losses.yolo_loss import build_targets
+
+    anchors = jnp.asarray([[1.0, 1.0], [3.0, 3.0], [9.0, 9.0]], jnp.float32)
+    h = w = 8
+    # Two boxes centred in the same cell (3, 2), same size -> same best
+    # anchor, different classes (0 then 2).
+    targets = np.zeros((1, 4, 6), np.float32)
+    targets[0, 0] = [2.5 / w, 3.5 / h, 3.0 / w, 3.0 / h, 0, 255.0]
+    targets[0, 1] = [2.6 / w, 3.6 / h, 3.0 / w, 3.0 / h, 2, 255.0]
+    tgt = build_targets(jnp.asarray(targets), anchors, (h, w),
+                        ignore_thre=0.5, num_cls=3)
+
+    a = 1  # best anchor for a 3x3 box
+    assert float(tgt["mask"][0, a, 3, 2]) == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(tgt["tcls"][0, a, 3, 2]), [1.0, 0.0, 1.0]
+    )  # sticky OR: both class bits
+    # spatial targets are last-wins (box 1)
+    np.testing.assert_allclose(float(tgt["tx"][0, a, 3, 2]), 2.6 / w * w - 2,
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(tgt["ty"][0, a, 3, 2]), 3.6 / h * h - 3,
+                               rtol=1e-5)
+
+
 def test_loss_is_differentiable(golden):
     import jax
 

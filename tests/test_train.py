@@ -127,6 +127,60 @@ def test_train_loss_decreases_and_eval_runs(dataset, tmp_path):
     assert 0.0 <= mAP <= 1.0
 
 
+def test_loader_drop_last_false_covers_every_image(dataset):
+    root, cfg = dataset
+    idx = VOCIndex(root, cfg.io.class_names)  # 16 images
+    loader = DetectionLoader(idx, cfg, batch_size=6, augment=False,
+                             shuffle=False, drop_last=False)
+    assert len(loader) == 3
+    batches = list(loader)
+    assert [b[0].shape[0] for b in batches] == [6, 6, 4]
+    # drop_last=True (training default) still drops the tail
+    assert len(DetectionLoader(idx, cfg, batch_size=6)) == 2
+
+
+def test_evaluator_counts_tail_batch_targets(dataset):
+    """Every validation image must count toward mAP — a partial final batch
+    is padded, not dropped (the reference validates every image)."""
+    root, cfg = dataset
+    idx = VOCIndex(root, cfg.io.class_names)
+    n_gt_total = sum(len(labels) for _, labels in idx)
+
+    class Capture:
+        lines = []
+
+        def info(self, msg):
+            self.lines.append(msg)
+
+    loader = DetectionLoader(idx, cfg, batch_size=6, augment=False,
+                             shuffle=False, drop_last=False)
+    evaluator = MAPEvaluator(cfg, loader, logger=Capture())
+    trainer = Trainer(cfg, batch_per_epoch=3, seed=0)
+    evaluator(trainer.variables, epoch=0)
+    import re
+
+    counted = sum(int(m.group(1)) for line in Capture.lines
+                  if (m := re.search(r"target_num = (\d+)", line)))
+    assert counted == n_gt_total
+
+
+def test_fit_rotates_checkpoints(dataset, tmp_path):
+    import dataclasses
+
+    root, cfg = dataset
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, max_to_keep=2,
+                                       val_after_epoch=99)
+    )
+    idx = VOCIndex(root, cfg.io.class_names)
+    loader = DetectionLoader(idx, cfg, batch_size=8, seed=4)
+    trainer = Trainer(cfg, batch_per_epoch=len(loader), seed=0)
+    trainer.fit(loader, total_epochs=3, checkpoint_dir=str(tmp_path),
+                log_every=1000)
+    kept = sorted(d for d in os.listdir(tmp_path) if d.startswith("epoch_"))
+    assert kept == ["epoch_1", "epoch_2"]
+
+
 def test_checkpoint_roundtrip(dataset, tmp_path):
     import jax
 

@@ -138,6 +138,8 @@ def cmd_train(args) -> int:
         cfg.train,
         total_epochs=args.epochs or cfg.train.total_epochs,
         batch_size=args.batch_size or cfg.train.batch_size,
+        max_to_keep=(cfg.train.max_to_keep if args.max_to_keep is None
+                     else args.max_to_keep),
     )
     cfg = dataclasses.replace(cfg, train=tr)
 
@@ -150,7 +152,8 @@ def cmd_train(args) -> int:
     validator = None
     if args.val_dir:
         val_idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
-        val_loader = DetectionLoader(val_idx, cfg, augment=False, shuffle=False)
+        val_loader = DetectionLoader(val_idx, cfg, augment=False,
+                                     shuffle=False, drop_last=False)
         validator = MAPEvaluator(cfg, val_loader, logger=logger)
 
     variables = _load_weights(args.pretrained) if args.pretrained else None
@@ -200,7 +203,8 @@ def cmd_eval(args) -> int:
     cfg = get_config(args.config)
     logger = config_logger(args.log_dir, "eval_info.log")
     idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
-    loader = DetectionLoader(idx, cfg, augment=False, shuffle=False)
+    loader = DetectionLoader(idx, cfg, augment=False, shuffle=False,
+                             drop_last=False)
     evaluator = MAPEvaluator(cfg, loader, logger=logger)
     variables = _load_weights(args.weights)
     import jax
@@ -287,6 +291,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax checkpoint dir to resume, or 'latest' to pick "
                         "the newest epoch in --checkpoint-dir")
     t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--max-to-keep", type=int, default=None,
+                   help="rotate old epoch checkpoints, keeping the newest N "
+                        "(0 keeps all; default from config)")
     t.add_argument("--log-dir", default="logs")
     t.set_defaults(fn=cmd_train)
 

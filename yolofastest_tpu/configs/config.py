@@ -97,6 +97,9 @@ class TrainConfig:
     # diverges where unclipped training is stable (docs/DESIGN.md).
     grad_clip_norm: float = 0.0
     checkpoint_dir: str = "checkpoints"
+    # Keep only the newest N epoch checkpoints (0 = keep all).  The reference
+    # keeps all 30 (train.py:160); rotation is the sane production default.
+    max_to_keep: int = 5
     log_every: int = 10
     val_after_epoch: int = 4  # run mAP validation once epoch > this
     seed: int = 0

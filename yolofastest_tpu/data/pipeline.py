@@ -109,6 +109,7 @@ class DetectionLoader:
         seed: int = 0,
         prefetch: int = 4,
         num_workers: int = 0,
+        drop_last: bool = True,
     ):
         self.index = index
         self.config = config
@@ -120,9 +121,14 @@ class DetectionLoader:
         # >0: decode images of a batch in a thread pool (cv2 releases the
         # GIL); the reference's DataLoader ran with num_workers=0.
         self.num_workers = num_workers
+        # drop_last=True matches the reference train loader (train.py:72);
+        # validation must use False so no image is silently excluded from mAP
+        # (the reference validates every image).
+        self.drop_last = drop_last
 
-    def __len__(self) -> int:  # batches per epoch (drop_last=True, train.py:72)
-        return len(self.index) // self.batch_size
+    def __len__(self) -> int:  # batches per epoch
+        n, bs = len(self.index), self.batch_size
+        return n // bs if self.drop_last else -(-n // bs)
 
     def _make_batch(self, idxs, rng) -> Tuple[np.ndarray, np.ndarray]:
         io = self.config.io

@@ -41,6 +41,10 @@ def convert_txt_dataset(
         if not os.path.exists(img_path):
             continue
         img = cv2.imread(img_path)
+        if img is None:  # corrupt/unreadable image: fail with a clear message
+            raise FileNotFoundError(
+                f"cannot decode image {img_path!r} (cv2.imread returned None)"
+            )
         h, w = img.shape[:2]
         boxes = []
         with open(os.path.join(src, fn)) as f:

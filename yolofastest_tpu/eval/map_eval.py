@@ -6,8 +6,12 @@ greedy pred/GT matching and all-point interpolated AP.
 
 TPU-first split: the per-image work the reference does on host in Python
 (decode, confidence gate, per-class NMS — ``validate.py:40-44``) runs as one
-jitted XLA program over the whole batch; only the final greedy matching and
-the PR sweep (tiny, O(detections)) stay on host in vectorised NumPy.
+jitted XLA program over the whole batch; on host, each image gets ONE
+vectorised IOU matrix and a greedy mask pass over it (the only sequential
+part greedy matching fundamentally requires), plus the tiny PR sweep.
+Short final batches (``drop_last=False`` loaders) are padded to the compiled
+batch shape and masked, so every validation image counts and nothing
+recompiles.
 
 Documented divergences from the reference (SURVEY.md §7 "bugs to NOT
 replicate"):
@@ -77,16 +81,18 @@ def make_eval_fn(model: YoloFastest, config: Config):
     return eval_fn
 
 
-def _iou_p1(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-    """+1-pixel IOU of one box vs (N, 4) boxes (utils/general.py:29-52)."""
-    x1 = np.maximum(box[0], boxes[:, 0])
-    y1 = np.maximum(box[1], boxes[:, 1])
-    x2 = np.minimum(box[2], boxes[:, 2])
-    y2 = np.minimum(box[3], boxes[:, 3])
+def _iou_matrix_p1(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """+1-pixel IOU matrix of (D, 4) vs (G, 4) boxes (utils/general.py:29-52)."""
+    a = a.astype(np.float64)  # degenerate early-training boxes overflow f32
+    b = b.astype(np.float64)
+    x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(a[:, None, 3], b[None, :, 3])
     inter = np.clip(x2 - x1 + 1, 0, None) * np.clip(y2 - y1 + 1, 0, None)
-    a1 = (box[2] - box[0] + 1) * (box[3] - box[1] + 1)
-    a2 = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
-    return inter / (a1 + a2 - inter + 1e-16)
+    aa = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+    ab = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    return inter / (aa[:, None] + ab[None, :] - inter + 1e-16)
 
 
 def average_precision(confs: np.ndarray, is_tp: np.ndarray, n_gt: int) -> float:
@@ -132,11 +138,22 @@ class MAPEvaluator:
         target_num = np.zeros(num_cls, np.int64)
         matches: List[List[Tuple[float, bool]]] = [[] for _ in range(num_cls)]
 
+        pad_to = getattr(self.loader, "batch_size", None)
+
         for imgs, targets in self.loader:
+            # Pad a short final batch (drop_last=False loaders) to the
+            # compiled batch shape with zero images; only the first n_valid
+            # results are matched — no recompile, no image dropped.
+            n_valid = imgs.shape[0]
+            if pad_to and n_valid < pad_to:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad_to - n_valid, *imgs.shape[1:]),
+                                    imgs.dtype)]
+                )
             det = self.eval_fn(variables, jnp.asarray(imgs))
             det = jax.tree.map(np.asarray, det)
 
-            for b in range(imgs.shape[0]):
+            for b in range(n_valid):
                 gt = targets[b]
                 gt = gt[gt[:, 5] > 1]  # valid rows (validate.py:48)
                 gt_xyxy = np.stack(
@@ -153,22 +170,28 @@ class MAPEvaluator:
                     target_num[c] += 1
 
                 n_det = int(det["count"][b])
+                if n_det == 0:
+                    continue
+                conf_det = det["conf"][b, :n_det].astype(np.float64)
+                cls_det = det["cls_idx"][b, :n_det].astype(np.int32)
+                if len(gt_cls) == 0:
+                    for i in range(n_det):
+                        matches[cls_det[i]].append((float(conf_det[i]), False))
+                    continue
+                # One vectorised IOU matrix per image, then a greedy pass in
+                # detection (conf-descending NMS) order over a used-GT mask.
+                iou_mat = _iou_matrix_p1(det["boxes"][b, :n_det], gt_xyxy)
+                iou_mat = np.where(cls_det[:, None] == gt_cls[None, :],
+                                   iou_mat, -1.0)
+                used = np.zeros(len(gt_cls), bool)
                 for i in range(n_det):
-                    c = int(det["cls_idx"][b, i])
-                    conf = float(det["conf"][b, i])
-                    cand = np.where(gt_cls == c)[0]
-                    if cand.size == 0:
-                        matches[c].append((conf, False))
-                        continue
-                    ious = _iou_p1(det["boxes"][b, i], gt_xyxy[cand])
-                    j = int(np.argmax(ious))  # best unmatched GT (divergence, see module doc)
-                    if ious[j] > iou_thre:
-                        matches[c].append((conf, True))
-                        keep = np.ones(len(gt_cls), bool)
-                        keep[cand[j]] = False
-                        gt_xyxy, gt_cls = gt_xyxy[keep], gt_cls[keep]
+                    row = np.where(used, -1.0, iou_mat[i])
+                    j = int(np.argmax(row))  # best unmatched GT (divergence, see module doc)
+                    if row[j] > iou_thre:
+                        used[j] = True
+                        matches[cls_det[i]].append((float(conf_det[i]), True))
                     else:
-                        matches[c].append((conf, False))
+                        matches[cls_det[i]].append((float(conf_det[i]), False))
 
         log = self.logger.info if self.logger else print
         log("—————— epoch: %d validation results —————" % epoch)

@@ -10,9 +10,10 @@ Capability-equivalent of the reference ``YOLOLossV3``
   train step, runs on device, and is differentiable-safe (targets are
   ``stop_gradient`` by construction).
 * The sequential scatter ordering reproduces the reference's exact semantics:
-  later boxes overwrite earlier ones on cell collisions, and the ``break`` on
-  the first invalid slot (``yolo_loss.py:158``) is a cumulative-product
-  validity prefix.
+  later boxes overwrite earlier ones on cell collisions (``tcls`` alone is
+  sticky-OR across colliding boxes, as in the reference where the one-hot
+  write is never reset), and the ``break`` on the first invalid slot
+  (``yolo_loss.py:158``) is a cumulative-product validity prefix.
 * Means are taken over the **full** ``(bs, A, H, W)`` tensor exactly like the
   reference's ``nn.BCELoss()/nn.MSELoss()`` on masked products (masked-out
   cells contribute 0 to the numerator but count in the denominator —
@@ -150,8 +151,19 @@ def build_targets(
     ty = scatter_set(ty_val)
     tw = scatter_set(tw_val)
     th = scatter_set(th_val)
+    # tcls is STICKY in the reference (``tcls[b,best_n,gj,gi,cls] = 1`` is
+    # never reset, yolo_loss.py:189) — colliding boxes of different classes
+    # accumulate one-hot bits.  Scatter-max over ALL active writes (not just
+    # the last-wins survivors) reproduces that OR, order-independently.
     onehot = jax.nn.one_hot(cls_id, num_cls, dtype=jnp.float32)  # (B, T, C)
-    tcls = scatter_set(onehot, depth=num_cls)
+    idx_all = jnp.where(active, cell + batch_off, b * (size + 1)).reshape(-1)
+    tcls_arr = jnp.zeros((b * (size + 1) + 1, num_cls), jnp.float32)
+    tcls_arr = tcls_arr.at[idx_all].max(onehot.reshape(-1, num_cls))
+    tcls = (
+        tcls_arr[: b * (size + 1)]
+        .reshape(b, size + 1, num_cls)[:, :size]
+        .reshape(b, na, h, w, num_cls)
+    )
 
     # noobj: 0 wherever ANY active box's shape-IOU exceeds the ignore
     # threshold at (a, gj, gi) — order-independent, scatter-min over all

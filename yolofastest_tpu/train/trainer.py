@@ -87,7 +87,15 @@ def make_train_step(
         # apply_if_finite protects params/opt state, but the BN running
         # stats mutate in the forward pass — reject them too on a
         # non-finite step, or one poisoned batch NaNs every later eval.
-        finite = jnp.isfinite(loss)
+        # Gate on the SAME condition apply_if_finite uses (all grads finite),
+        # plus finite loss: a finite-loss/non-finite-grad step skips the
+        # param update, and committing BN stats there would desync them.
+        grads_finite = jax.tree_util.tree_reduce(
+            lambda acc, g: jnp.logical_and(acc, jnp.all(jnp.isfinite(g))),
+            grads,
+            jnp.asarray(True),
+        )
+        finite = jnp.logical_and(jnp.isfinite(loss), grads_finite)
         new_stats = jax.tree.map(
             lambda n, o: jnp.where(finite, n, o), new_stats, state.batch_stats
         )
@@ -246,7 +254,8 @@ class Trainer:
             if validator is not None and epoch > tr.val_after_epoch:
                 epoch_info["mAP"] = validator(self.variables, epoch)
             if checkpoint_dir:
-                self.save_checkpoint(checkpoint_dir, epoch)
+                self.save_checkpoint(checkpoint_dir, epoch,
+                                     max_to_keep=tr.max_to_keep or None)
             history.append(epoch_info)
         return history
 
