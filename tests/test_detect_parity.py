@@ -133,6 +133,81 @@ def test_detect_parity(res):
     assert total_matched == len(ref_boxes)
 
 
+def test_int8_backend_first_class(tmp_path):
+    """Detector(backend='int8') is the NPU-mirror deployment mode: must hit
+    >=90% golden recall and cache its calibration scales to JSON."""
+    if not os.path.exists(REF_PTH["256x320"]):
+        pytest.skip("reference checkpoint not mounted")
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.inference import Detector, detections_to_lists
+    from yolofastest_tpu.models.torch_io import load_torch_checkpoint
+
+    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    imgs = fx["pre_imgs"].astype(np.float32)[..., None]
+    x = (imgs - 128.0) / 255.0
+    cache = str(tmp_path / "scales.json")
+    variables = load_torch_checkpoint(REF_PTH["256x320"])
+
+    det = Detector(get_config("256x320"), variables=variables,
+                   backend="int8", calibration=x[:8],
+                   calibration_cache=cache)
+    assert os.path.exists(cache)
+    out = det.run(jnp.asarray(x))
+    rows = detections_to_lists(out)
+    golden = fx["boxes"]
+    found = sum(
+        any(int(r[6]) == int(g[7]) and
+            max(abs(np.array(r[:4]) - g[1:5])) <= 3.0
+            for r in rows[int(g[0])])
+        for g in golden
+    )
+    assert found >= 0.9 * len(golden)
+
+    # second construction loads scales from the cache, no calibration needed
+    det2 = Detector(get_config("256x320"), variables=variables,
+                    backend="int8", calibration_cache=cache)
+    out2 = det2.run(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(out["count"]),
+                                  np.asarray(out2["count"]))
+
+    with pytest.raises(ValueError, match="calibration"):
+        Detector(get_config("256x320"), variables=variables, backend="int8")
+
+
+def test_batch_detect_batched_mode_matches_single(tmp_path):
+    """batch_size>1 amortised mode must write identical detections to the
+    per-image mode (same compiled pipeline, chunked input)."""
+    if not os.path.exists(REF_PTH["256x320"]):
+        pytest.skip("reference checkpoint not mounted")
+    import cv2
+    import logging
+
+    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(5):  # 5 images, batch 2 -> padded tail chunk
+        up = cv2.resize(fx["pre_imgs"][i], (640, 512),
+                        interpolation=cv2.INTER_NEAREST)
+        cv2.imwrite(str(data / f"im{i}.jpg"),
+                    cv2.cvtColor(up, cv2.COLOR_GRAY2BGR))
+
+    det = _detector("256x320")
+    logs = {}
+    for name, bs in (("one", 1), ("chunk", 2)):
+        lg = logging.getLogger(f"bd_{name}")
+        lg.addHandler(logging.NullHandler())
+        lg.propagate = False
+        det.logger = lg
+        out = tmp_path / name
+        det.batch_detect(str(data), str(out), batch_size=bs)
+        logs[name] = sorted(os.listdir(out))
+    assert logs["one"] == logs["chunk"]
+    for f in logs["one"]:
+        a = cv2.imread(str(tmp_path / "one" / f))
+        b = cv2.imread(str(tmp_path / "chunk" / f))
+        np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize("res", ["256x320"])
 def test_detect_counts_stable_bf16(res):
     """bfloat16 compute must find the same number of detections (the speed

@@ -80,46 +80,31 @@ def cmd_detect(args) -> int:
     from yolofastest_tpu.inference import Detector
 
     variables = _load_weights(args.weights)
-    if args.backend in ("int8", "int8-fused"):
-        import jax
-        import jax.numpy as jnp
-
-        from yolofastest_tpu.models import fold_batchnorm
-        from yolofastest_tpu.quant import calibrate, quantize_weights, quantized_apply
-        from yolofastest_tpu.quant.ptq import quantized_apply_fused
-
-        apply_fn = quantized_apply_fused if args.backend == "int8-fused" else quantized_apply
-        folded = fold_batchnorm(variables)
-        qparams = quantize_weights(folded)
-        # calibrate on the first few images of the target directory
-        det0 = Detector(cfg, variables=variables, logger=logger)
+    backend = "fp" if args.backend == "jax" else args.backend  # legacy alias
+    calibration = None
+    cache = None
+    if backend in ("int8", "int8-fused"):
+        # Calibration scales are cached next to the weights; recomputed from
+        # the first few target images only when no cache exists yet.
         import numpy as np
 
-        names = sorted(f for f in os.listdir(args.data) if f.lower().endswith(".jpg"))[:8]
-        cal = np.concatenate(
-            [det0.preprocess_host(os.path.join(args.data, n))[0] for n in names]
+        from yolofastest_tpu.inference.detector import load_net_input
+
+        cache = args.calibration_cache or (
+            os.path.splitext(args.weights)[0] + ".calib.json"
         )
-        scales = calibrate(folded, [cal])
-
-        detector = Detector(cfg, variables=variables, logger=logger)
-
-        def _run(variables_unused, images):
-            heads = apply_fn(qparams, scales, images)
-            from yolofastest_tpu.ops import batched_nms, decode_heads
-
-            io = cfg.io
-            b, c, s, ci, v = decode_heads(heads, io.anchors, io.input_hw,
-                                          io.conf_thre, io.max_decode)
-            return batched_nms(b, c, s, ci, v, iou_thre=io.nms_thre,
-                               max_det=io.max_det)
-
-        detector._run = jax.jit(_run)
-        detector.batch_detect(args.data, args.out)
-        return 0
+        if not os.path.exists(cache):
+            names = sorted(f for f in os.listdir(args.data)
+                           if f.lower().endswith(".jpg"))[:8]
+            calibration = np.concatenate(
+                [load_net_input(os.path.join(args.data, n), cfg.io)[0]
+                 for n in names]
+            )
 
     detector = Detector(cfg, variables=variables, logger=logger,
-                        fold_bn=args.fold_bn)
-    detector.batch_detect(args.data, args.out)
+                        fold_bn=args.fold_bn, backend=backend,
+                        calibration=calibration, calibration_cache=cache)
+    detector.batch_detect(args.data, args.out, batch_size=args.batch)
     return 0
 
 
@@ -274,10 +259,16 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
     d.add_argument("--data", required=True)
     d.add_argument("--out", required=True)
-    d.add_argument("--backend", default="jax",
-                   choices=["jax", "native", "int8", "int8-fused"])
+    d.add_argument("--backend", default="fp",
+                   choices=["fp", "jax", "native", "int8", "int8-fused"])
     d.add_argument("--fold-bn", action="store_true",
-                   help="run the BN-folded deployment graph (jax backend)")
+                   help="run the BN-folded deployment graph (fp backend)")
+    d.add_argument("--batch", type=int, default=1,
+                   help="device batch size for the detect pipeline (>1 = "
+                        "throughput mode, amortised per-image timing)")
+    d.add_argument("--calibration-cache", default=None,
+                   help="JSON file for int8 activation scales (default: "
+                        "<weights>.calib.json)")
     d.set_defaults(fn=cmd_detect)
 
     t = sub.add_parser("train", help="train on a VOC-XML dataset")

@@ -41,6 +41,13 @@ class Detector:
       variables: flax variables ({'params', 'batch_stats'}).  Alternatively
         pass ``torch_checkpoint=`` to convert a reference ``.pth`` on the fly.
       compute_dtype: jnp.float32 for parity, jnp.bfloat16 for speed.
+      backend: ``'fp'`` (default), ``'int8'`` (per-layer int8 weights+inputs)
+        or ``'int8-fused'`` (end-to-end int8 activations) — the first-class
+        quantised deployment modes mirroring the reference's NPU path.
+      calibration: for int8 backends — a (N, H, W, 1) float batch (or list of
+        batches) of net-input images to derive activation scales from.
+      calibration_cache: optional JSON path; scales are loaded from it when it
+        exists, else computed from ``calibration`` and saved to it.
     """
 
     def __init__(
@@ -51,12 +58,18 @@ class Detector:
         compute_dtype=jnp.float32,
         logger=None,
         fold_bn: bool = False,
+        backend: str = "fp",
+        calibration=None,
+        calibration_cache: Optional[str] = None,
     ):
         if variables is None:
             if torch_checkpoint is None:
                 raise ValueError("need variables or torch_checkpoint")
             variables = load_torch_checkpoint(torch_checkpoint)
+        if backend not in ("fp", "int8", "int8-fused"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.config = config
+        self.backend = backend
         self.variables = jax.tree.map(jnp.asarray, variables)
         self.model = YoloFastest(
             num_cls=config.io.num_cls,
@@ -67,7 +80,27 @@ class Detector:
 
         io = config.io
 
-        if fold_bn:
+        if backend in ("int8", "int8-fused"):
+            from yolofastest_tpu.models import fold_batchnorm
+            from yolofastest_tpu.quant import calibrate, quantize_weights
+            from yolofastest_tpu.quant.ptq import (
+                quantized_apply,
+                quantized_apply_fused,
+            )
+
+            folded = fold_batchnorm(jax.device_get(self.variables))
+            scales = self._load_or_calibrate(
+                folded, calibration, calibration_cache, calibrate
+            )
+            qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
+            self.variables = qparams
+            self.act_scales = scales
+            apply_q = (quantized_apply_fused if backend == "int8-fused"
+                       else quantized_apply)
+
+            def _apply(variables, images):
+                return apply_q(variables, scales, images)
+        elif fold_bn:
             # Deployment mode: run the BN-folded graph (the converted-model
             # analogue, models/graph.py) — skips the BN arithmetic entirely.
             from yolofastest_tpu.models import fold_batchnorm, folded_apply
@@ -101,6 +134,37 @@ class Detector:
 
         self._run = _run
         self._run_raw = _run_raw
+        self._warm: set = set()
+
+    @staticmethod
+    def _load_or_calibrate(folded, calibration, cache_path, calibrate_fn):
+        import json
+
+        if cache_path and os.path.exists(cache_path):
+            with open(cache_path) as f:
+                return {k: float(v) for k, v in json.load(f).items()}
+        if calibration is None:
+            raise ValueError(
+                "int8 backends need calibration= batches (or an existing "
+                "calibration_cache file)"
+            )
+        batches = calibration if isinstance(calibration, (list, tuple)) else [calibration]
+        scales = calibrate_fn(folded, [np.asarray(b, np.float32) for b in batches])
+        if cache_path:
+            with open(cache_path, "w") as f:
+                json.dump(scales, f, indent=1)
+        return scales
+
+    def warmup(self, batch_size: int = 1) -> None:
+        """Compile + execute the pipeline once at this batch shape so timed
+        runs measure steady-state latency, not compilation (the reference's
+        first-image numbers always include warm caches)."""
+        if batch_size in self._warm:
+            return
+        io = self.config.io
+        dummy = jnp.zeros((batch_size, *io.input_hw, io.input_channels), jnp.float32)
+        jax.block_until_ready(self._run(self.variables, dummy))
+        self._warm.add(batch_size)
 
     # ------------------------------------------------------------------ core
     def run(self, images) -> Dict[str, jax.Array]:
@@ -115,15 +179,7 @@ class Detector:
     # ------------------------------------------------------------- host utils
     def preprocess_host(self, img_path: str):
         """Reference-exact host preprocessing via cv2 (detect.py:107-129)."""
-        import cv2
-
-        io = self.config.io
-        ori = cv2.imread(img_path)
-        img = cv2.cvtColor(ori, cv2.COLOR_BGR2GRAY) if io.input_channels == 1 else ori
-        if img.shape[:2] != io.input_hw:
-            img = cv2.resize(img, (io.input_hw[1], io.input_hw[0]))
-        net_in = (img.astype(np.float32) - 128.0) / 255.0
-        return net_in[None, :, :, None], ori
+        return load_net_input(img_path, self.config.io)
 
     def adjust_coords(self, boxes: np.ndarray) -> np.ndarray:
         """Net-input coords -> original-image coords (detect.py:131-139)."""
@@ -135,9 +191,20 @@ class Detector:
         out[..., [1, 3]] = np.round(out[..., [1, 3]] * scale_h)
         return out
 
-    def batch_detect(self, data_path: str, result_path: str) -> float:
+    def batch_detect(self, data_path: str, result_path: str,
+                     batch_size: int = 1) -> float:
         """Directory-in, annotated-results-out with reference-format timing
-        logs (detect.py:141-192).  Returns the average total time in ms."""
+        logs (detect.py:141-192).  Returns the average total time in ms.
+
+        The jit is warmed up BEFORE the timed loop, so every logged number is
+        steady-state end-to-end latency: host array -> device (H2D through
+        the runtime) -> detect program -> detections fetched back (D2H).
+
+        With ``batch_size > 1``, images run through the device in chunks of
+        that size (one compiled shape; a short tail is padded) and the
+        per-image time is the amortised chunk time — the throughput
+        deployment mode the per-image reference runtimes can't do.
+        """
         import cv2
 
         os.makedirs(result_path, exist_ok=True)
@@ -145,42 +212,77 @@ class Detector:
         names = sorted(f for f in os.listdir(data_path) if f.lower().endswith((".jpg", ".png", ".bmp")))
         avg_time = 0.0
         log = self.logger.info if self.logger else print
+        self.warmup(batch_size)
 
-        for filename in names:
-            net_in, ori = self.preprocess_host(os.path.join(data_path, filename))
+        pre = [self.preprocess_host(os.path.join(data_path, f)) for f in names]
+
+        for c0 in range(0, len(names), batch_size):
+            chunk = pre[c0 : c0 + batch_size]
+            n_valid = len(chunk)
+            net_in = np.concatenate([p[0] for p in chunk])
+            if n_valid < batch_size:  # pad tail to the compiled shape
+                net_in = np.concatenate(
+                    [net_in, np.zeros((batch_size - n_valid, *net_in.shape[1:]),
+                                      net_in.dtype)]
+                )
 
             start = time.time()
             det = self.run(jnp.asarray(net_in))
-            det = jax.tree.map(np.asarray, det)  # block until done
+            det = jax.tree.map(np.asarray, det)  # block until results on host
             infer_mark = time.time()
-            infer_time = (infer_mark - start) * 1e3
+            infer_time = (infer_mark - start) * 1e3 / n_valid
 
-            rows = detections_to_lists(det)[0]
-            post_time = (time.time() - infer_mark) * 1e3
-            total = infer_time + post_time
-            avg_time += total
+            all_rows = detections_to_lists(det)[:n_valid]
+            post_time = (time.time() - infer_mark) * 1e3 / n_valid
 
-            if not rows:
+            for k, rows in enumerate(all_rows):
+                filename = names[c0 + k]
+                ori = chunk[k][1]
+                total = infer_time + post_time
+                avg_time += total
+
+                if not rows:
+                    cv2.imwrite(os.path.join(result_path, "result_" + filename), ori)
+                    log("image_name:%s -> no targets, infer time:%.2fms, post_process time:%.2fms, total time:%.2fms"
+                        % (filename, infer_time, post_time, total))
+                    continue
+
+                if io.input_shape[:2] != io.origin_img_shape[:2]:
+                    for r in rows:
+                        r[:4] = self.adjust_coords(np.asarray(r[:4], np.float64))
+                for x1, y1, x2, y2, conf, cls_score, cls_idx in rows:
+                    label = "%s %.2f" % (io.class_names[int(cls_idx)], conf * cls_score)
+                    plot_one_box([x1, y1, x2, y2], ori,
+                                 color=CLASS_COLORS[int(cls_idx) % len(CLASS_COLORS)],
+                                 label=label, line_thickness=3)
                 cv2.imwrite(os.path.join(result_path, "result_" + filename), ori)
-                log("image_name:%s -> no targets, infer time:%.2fms, post_process time:%.2fms, total time:%.2fms"
+                log("image_name:%s -> detect finished, infer time:%.2fms, post_process time:%.2fms, total time:%.2fms"
                     % (filename, infer_time, post_time, total))
-                continue
-
-            if io.input_shape[:2] != io.origin_img_shape[:2]:
-                for r in rows:
-                    r[:4] = self.adjust_coords(np.asarray(r[:4], np.float64))
-            for x1, y1, x2, y2, conf, cls_score, cls_idx in rows:
-                label = "%s %.2f" % (io.class_names[int(cls_idx)], conf * cls_score)
-                plot_one_box([x1, y1, x2, y2], ori,
-                             color=CLASS_COLORS[int(cls_idx) % len(CLASS_COLORS)],
-                             label=label, line_thickness=3)
-            cv2.imwrite(os.path.join(result_path, "result_" + filename), ori)
-            log("image_name:%s -> detect finished, infer time:%.2fms, post_process time:%.2fms, total time:%.2fms"
-                % (filename, infer_time, post_time, total))
 
         avg = avg_time / max(len(names), 1)
         log("detect avg_time: %.2fms" % avg)
         return avg
+
+
+def load_net_input(img_path: str, io) -> Tuple[np.ndarray, np.ndarray]:
+    """Read + reference-exact preprocess one image (detect.py:107-129).
+
+    Returns ``((1, H, W, 1) float32 net input, original BGR image)``.
+    Module-level so calibration and tools can preprocess without building a
+    Detector first.
+    """
+    import cv2
+
+    ori = cv2.imread(img_path)
+    if ori is None:
+        raise FileNotFoundError(
+            f"cannot decode image {img_path!r} (cv2.imread returned None)"
+        )
+    img = cv2.cvtColor(ori, cv2.COLOR_BGR2GRAY) if io.input_channels == 1 else ori
+    if img.shape[:2] != io.input_hw:
+        img = cv2.resize(img, (io.input_hw[1], io.input_hw[0]))
+    net_in = (img.astype(np.float32) - 128.0) / 255.0
+    return net_in[None, :, :, None], ori
 
 
 def detections_to_lists(det: Dict[str, np.ndarray]) -> List[List[List[float]]]:
