@@ -1,19 +1,32 @@
-"""Headline benchmark: batched streaming detect throughput at 320x256.
+"""Benchmark suite: throughput, end-to-end latency, and train-step rate.
 
-Runs the full on-device pipeline — normalize -> backbone (bf16) -> decode ->
-class-aware NMS — on device-resident uint8 gray frames, the streaming
-scenario from BASELINE.json ("batched streaming inference ... all stay
-on-chip with zero host round-trips").
+Headline: batched streaming detect throughput at 320x256 — the full
+on-device pipeline (normalize -> BN-folded backbone (bf16) -> decode ->
+class-aware NMS) over device-resident uint8 gray frames (BASELINE.json's
+"batched streaming inference ... all stay on-chip").
 
-Prints ONE JSON line:
+Also measured and reported as extra keys in the same JSON object:
+  * end-to-end detect latency at batch 1 and 8 — timed INCLUDING the H2D
+    frame upload and the D2H fetch of the detection dict (p50/p99), the
+    number comparable to the reference's per-image logs
+    (`test_result/256x320/npu_test_result/npu-test.log:75`, 43.56 ms);
+  * host-inclusive streaming throughput (H2D + compute + D2H each iter);
+  * training step throughput (img/s) on the real jitted SPMD train step;
+  * HBM bandwidth utilisation from XLA's compiled cost analysis
+    (bytes accessed / measured time vs the chip's peak).
+
+Prints ONE JSON line; the required driver fields are
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+and every extra measurement rides in the same object.
 
 vs_baseline is measured against the reference's best end-to-end 320x256
-number: RKNN NPU total 43.56 ms/img => 22.96 img/s
-(`/root/reference/test_result/256x320/npu_test_result/npu-test.log:75`,
-BASELINE.md).
+number: RKNN NPU total 43.56 ms/img => 22.96 img/s (BASELINE.md).
+
+Usage: python bench.py [--trace DIR] (--trace wraps the headline loop in a
+jax.profiler trace for offline xprof inspection).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -22,14 +35,32 @@ import time
 import numpy as np
 
 BASELINE_IMG_PER_SEC = 1000.0 / 43.56  # reference best 320x256 (NPU total)
+BASELINE_LATENCY_MS = 43.56
+
+# Peak HBM bandwidth by device_kind substring (GB/s), public spec numbers.
+PEAK_HBM_GBPS = {
+    "v2": 700.0, "v3": 900.0, "v4": 1228.0,
+    "v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v6 lite": 1640.0, "v6e": 1640.0,
+}
+
+
+def _percentiles(times_s):
+    a = np.sort(np.asarray(times_s)) * 1e3
+    return float(np.percentile(a, 50)), float(np.percentile(a, 99))
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--trace", default=None,
+                        help="write a jax.profiler trace of the headline loop here")
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     from yolofastest_tpu.configs import get_config
-    from yolofastest_tpu.models import YoloFastest, load_torch_checkpoint
+    from yolofastest_tpu.models import (YoloFastest, fold_batchnorm,
+                                        folded_apply, load_torch_checkpoint)
     from yolofastest_tpu.ops import batched_nms, decode_heads, normalize
 
     cfg = get_config("256x320")
@@ -47,8 +78,6 @@ def main():
 
     # Deployment graph: BN folded into the convs (models/graph.py) — the
     # analogue of the reference's converted ncnn/rknn networks.
-    from yolofastest_tpu.models import fold_batchnorm, folded_apply
-
     folded = jax.tree.map(jnp.asarray, fold_batchnorm(jax.device_get(variables)))
 
     @jax.jit
@@ -60,11 +89,11 @@ def main():
         )
         return batched_nms(boxes, conf, cls_score, cls_idx, valid,
                            iou_thre=io.nms_thre, max_det=io.max_det)
-    variables = folded
 
     dev = jax.devices()[0]
-    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
-          file=sys.stderr)
+    kind = getattr(dev, "device_kind", "?")
+    print(f"device: {dev.platform} {kind}", file=sys.stderr)
+    extras = {"device": f"{dev.platform} {kind}"}
 
     rng = np.random.default_rng(0)
 
@@ -73,30 +102,127 @@ def main():
         # early; only a real device->host fetch observes completion.
         return np.asarray(out["count"])[0]
 
+    # ---------------------------------------------- on-chip streaming (headline)
     best = 0.0
+    best_batch = None
+    best_dt = None
     for batch in (256, 512, 1024):
         frames = jax.device_put(
             jnp.asarray(rng.integers(0, 256, (batch, *io.input_hw), np.uint8))
         )
-        fetch(pipeline(variables, frames))  # compile + warmup
+        fetch(pipeline(folded, frames))  # compile + warmup
         reps = 20
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = pipeline(variables, frames)
+            out = pipeline(folded, frames)
         fetch(out)
         dt = (time.perf_counter() - t0) / reps
         ips = batch / dt
         print(f"batch {batch}: {dt*1e3:.2f} ms/iter -> {ips:,.0f} img/s",
               file=sys.stderr)
-        best = max(best, ips)
+        if ips > best:
+            best, best_batch, best_dt = ips, batch, dt
 
-    # Secondary: the 640x512 resolution (reference's other headline config).
+    if args.trace:
+        from yolofastest_tpu.utils.profiling import trace
+
+        frames = jax.device_put(
+            jnp.asarray(rng.integers(0, 256, (best_batch, *io.input_hw), np.uint8))
+        )
+        with trace(args.trace):
+            for _ in range(5):
+                out = pipeline(folded, frames)
+            fetch(out)
+        print(f"profiler trace written to {args.trace}", file=sys.stderr)
+
+    # HBM bandwidth utilisation from XLA's own compiled cost analysis: the
+    # measured iteration time vs bytes the compiled program touches.
+    try:
+        frames_spec = jax.ShapeDtypeStruct((best_batch, *io.input_hw), jnp.uint8)
+        compiled = pipeline.lower(folded, frames_spec).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
+        achieved = bytes_accessed / best_dt / 1e9
+        extras["hbm_bytes_per_iter"] = bytes_accessed
+        extras["hbm_achieved_gbps"] = round(achieved, 1)
+        for key, peak in PEAK_HBM_GBPS.items():
+            if key in kind.lower():
+                extras["hbm_utilization"] = round(achieved / peak, 3)
+                break
+        print(f"cost analysis: {bytes_accessed/1e6:.1f} MB/iter -> "
+              f"{achieved:.0f} GB/s achieved", file=sys.stderr)
+    except Exception as e:  # cost analysis is best-effort on some backends
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+
+    # ------------------------------- host-inclusive streaming (H2D + D2H timed)
+    frames_host = rng.integers(0, 256, (best_batch, *io.input_hw), np.uint8)
+    for _ in range(2):  # warm both transfer paths
+        out = pipeline(folded, jax.device_put(jnp.asarray(frames_host)))
+        jax.tree.map(np.asarray, out)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = pipeline(folded, jax.device_put(jnp.asarray(frames_host)))
+        jax.tree.map(np.asarray, out)  # full detection dict D2H
+    dt_e2e = (time.perf_counter() - t0) / reps
+    extras["e2e_stream_img_s"] = round(best_batch / dt_e2e, 1)
+    print(f"host-inclusive batch {best_batch}: {dt_e2e*1e3:.2f} ms/iter -> "
+          f"{best_batch/dt_e2e:,.0f} img/s", file=sys.stderr)
+
+    # ------------------------------------------- end-to-end latency (batch 1, 8)
+    for b in (1, 8):
+        frames_host = rng.integers(0, 256, (b, *io.input_hw), np.uint8)
+        for _ in range(5):  # warmup
+            out = pipeline(folded, jax.device_put(jnp.asarray(frames_host)))
+            jax.tree.map(np.asarray, out)
+        times = []
+        for _ in range(50):
+            t0 = time.perf_counter()
+            out = pipeline(folded, jax.device_put(jnp.asarray(frames_host)))
+            jax.tree.map(np.asarray, out)
+            times.append(time.perf_counter() - t0)
+        p50, p99 = _percentiles(times)
+        extras[f"latency_b{b}_p50_ms"] = round(p50, 2)
+        extras[f"latency_b{b}_p99_ms"] = round(p99, 2)
+        extras[f"latency_b{b}_p50_ms_per_img"] = round(p50 / b, 2)
+        print(f"latency batch {b}: p50 {p50:.2f} ms, p99 {p99:.2f} ms "
+              f"({p50/b:.2f} ms/img; reference PC 53.9 ms, NPU 43.56 ms)",
+              file=sys.stderr)
+
+    # ----------------------------------------------- training step throughput
+    try:
+        from yolofastest_tpu.train import Trainer
+
+        trainer = Trainer(cfg, batch_per_epoch=500, seed=0,
+                          compute_dtype=jnp.bfloat16)
+        tb = 256
+        imgs = rng.standard_normal((tb, *io.input_hw, 1)).astype(np.float32) * 0.2
+        tgts = np.zeros((tb, cfg.train.max_boxes, 6), np.float32)
+        tgts[:, 0] = [0.5, 0.5, 0.25, 0.25, 1, 255.0]
+        tgts[:, 1] = [0.25, 0.25, 0.1, 0.1, 0, 255.0]
+        m = trainer.step(imgs, tgts)  # compile + warmup
+        float(m["total"])
+        steps = 10
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            m = trainer.step(imgs, tgts)
+        float(m["total"])  # D2H fetch drains the step queue
+        dt_train = (time.perf_counter() - t0) / steps
+        extras["train_img_s"] = round(tb / dt_train, 1)
+        extras["train_batch"] = tb
+        print(f"train step batch {tb}: {dt_train*1e3:.2f} ms -> "
+              f"{tb/dt_train:,.0f} img/s", file=sys.stderr)
+    except Exception as e:
+        print(f"train bench failed: {e}", file=sys.stderr)
+
+    # ------------------------------------- secondary resolution: 512x640 (bf16)
     cfg512 = get_config("512x640")
-    model512 = YoloFastest(num_cls=3, num_anchors=3, compute_dtype=jnp.bfloat16)
     ckpt512 = "/root/reference/models/pytorch/512x640/YOLO-Fastest_epoch_27.pth"
     if os.path.exists(ckpt512):
         variables512 = load_torch_checkpoint(ckpt512)
     else:
+        model512 = YoloFastest(num_cls=3, num_anchors=3, compute_dtype=jnp.bfloat16)
         variables512 = jax.device_get(model512.init(
             jax.random.PRNGKey(0), jnp.zeros((1, *cfg512.io.input_hw, 1), jnp.float32),
             train=False))
@@ -112,17 +238,17 @@ def main():
         )
         return batched_nms(boxes, conf, cls_score, cls_idx, valid,
                            iou_thre=io5.nms_thre, max_det=io5.max_det)
-    variables512 = folded512
 
     frames512 = jax.device_put(
         jnp.asarray(rng.integers(0, 256, (256, *cfg512.io.input_hw), np.uint8))
     )
-    fetch(pipeline512(variables512, frames512))
+    fetch(pipeline512(folded512, frames512))
     t0 = time.perf_counter()
     for _ in range(20):
-        out = pipeline512(variables512, frames512)
+        out = pipeline512(folded512, frames512)
     fetch(out)
     dt = (time.perf_counter() - t0) / 20
+    extras["throughput_512x640_img_s"] = round(256 / dt, 1)
     print(f"512x640 batch 256: {dt*1e3:.2f} ms/iter -> {256/dt:,.0f} img/s "
           f"(reference best: 7.4 img/s)", file=sys.stderr)
 
@@ -131,6 +257,7 @@ def main():
         "value": round(best, 1),
         "unit": "img/s",
         "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 2),
+        **extras,
     }))
 
 

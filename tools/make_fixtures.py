@@ -160,6 +160,101 @@ def make_loss_fixture():
     print("loss fixture:", {k: v for k, v in results.items() if k.startswith("scale")})
 
 
+def make_map_fixture():
+    """Golden mAP: run the reference ``Validation.get_mAP``
+    (``validate.py:27-122``) on the 20 bundled test images with fabricated GT
+    labels, using the shipped 256x320 checkpoint.
+
+    The GT is derived from the reference detector's own golden detections,
+    then deterministically perturbed (boxes jittered, some dropped -> FPs,
+    phantoms added -> FNs, classes flipped) so the resulting mAP sits well
+    inside (0, 1) and every code path (TP/FP/FN, per-class AP interpolation)
+    is exercised.  Our MAPEvaluator must reproduce the number on identical
+    inputs (tests/test_map_parity.py).
+    """
+    import logging
+
+    from validate import Validation  # noqa: E402  (reference validate.py)
+
+    spec = SPECS["256x320"]
+    g = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    pre_imgs = g["pre_imgs"]  # (20, 256, 320) uint8
+    boxes = g["boxes"]  # [img_idx, x1, y1, x2, y2, conf, cls_score, cls_idx]
+    n_img, H, W = pre_imgs.shape
+
+    rng = np.random.RandomState(7)
+    targets = np.zeros((n_img, 64, 6), np.float32)
+    counts = np.zeros(n_img, np.int32)
+    k = 0
+    for row in boxes:
+        b = int(row[0])
+        x1, y1, x2, y2 = row[1:5]
+        cls = int(row[7])
+        k += 1
+        if k % 5 == 0:
+            continue  # dropped GT -> this detection becomes an FP
+        jit = rng.uniform(-2.0, 2.0, 4)
+        x1, y1, x2, y2 = x1 + jit[0], y1 + jit[1], x2 + jit[2], y2 + jit[3]
+        if k % 7 == 0:
+            cls = (cls + 1) % 3  # class flip -> FP for model + FN for GT
+        t = counts[b]
+        targets[b, t] = [
+            (x1 + x2) / 2 / W, (y1 + y2) / 2 / H,
+            (x2 - x1) / W, (y2 - y1) / H, cls, 255.0,
+        ]
+        counts[b] += 1
+    for b in range(0, n_img, 4):  # phantom GT nobody detects -> FN
+        t = counts[b]
+        targets[b, t] = [rng.uniform(0.1, 0.4), rng.uniform(0.5, 0.9),
+                         0.08, 0.1, rng.randint(0, 3), 255.0]
+        counts[b] += 1
+
+    io_params = {
+        "num_cls": 3, "num_anchors": 3, "input_channel": 1,
+        "anchors": spec["anchors"], "input_shape": spec["input_shape"],
+        "conf_thre": 0.5, "nms_thre": 0.2,
+        "class_names": ["carrier", "defender", "destroyer"],
+    }
+    params = {
+        "io_params": io_params,
+        "train_params": {"batch_size": n_img, "IOU_val_thre": 0.5},
+    }
+    model = YoloFastest(io_params).eval()
+    model.load_state_dict(
+        torch.load(spec["pth"], map_location="cpu", weights_only=True)
+    )
+    losses = [
+        YOLOLossV3(anchors=a, num_classes=3, input_shape=spec["input_shape"],
+                   device="cpu")
+        for a in spec["anchors"]
+    ]
+
+    logger = logging.getLogger("map_fixture")
+    logger.addHandler(logging.StreamHandler())
+    logger.setLevel(logging.INFO)
+
+    val = Validation(params, logger, [None], "cpu", losses)
+    imgs_t = torch.from_numpy(
+        ((pre_imgs[:, None].astype(np.float32)) - 128.0) / 255.0
+    )
+    # one full batch, bypassing the dataset plumbing
+    val.dataloader = [(imgs_t, torch.from_numpy(targets.copy()))]
+    ref_map = float(val.get_mAP(model, epoch=0))
+    ref_aps = []
+    for c in range(3):
+        ref_aps.append(float(val._Validation__calculate_AP(cls=c)))
+
+    np.savez_compressed(
+        os.path.join(FIXTURES, "golden_map.npz"),
+        targets=targets,
+        ref_map=np.float64(ref_map),
+        ref_aps=np.array(ref_aps, np.float64),
+        ref_target_num=val.target_num.numpy().astype(np.int64),
+    )
+    print(f"map fixture: reference mAP {ref_map:.6f}, APs {ref_aps}, "
+          f"target_num {val.target_num.numpy()}")
+
+
 def main():
     os.makedirs(FIXTURES, exist_ok=True)
     img_dir = f"{REF}/test_data"
@@ -169,6 +264,7 @@ def main():
     for name, spec in SPECS.items():
         run_resolution(name, spec, img_paths)
     make_loss_fixture()
+    make_map_fixture()
 
 
 if __name__ == "__main__":

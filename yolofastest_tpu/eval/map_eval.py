@@ -137,6 +137,7 @@ class MAPEvaluator:
         h, w = io.input_hw
         target_num = np.zeros(num_cls, np.int64)
         matches: List[List[Tuple[float, bool]]] = [[] for _ in range(num_cls)]
+        gt_matched = 0  # across all classes, for the detection-rate metric
 
         pad_to = getattr(self.loader, "batch_size", None)
 
@@ -192,10 +193,12 @@ class MAPEvaluator:
                         matches[cls_det[i]].append((float(conf_det[i]), True))
                     else:
                         matches[cls_det[i]].append((float(conf_det[i]), False))
+                gt_matched += int(used.sum())
 
         log = self.logger.info if self.logger else print
         log("—————— epoch: %d validation results —————" % epoch)
         mAP = 0.0
+        per_class_ap = []
         for c in range(num_cls):
             m = matches[c]
             ap = average_precision(
@@ -205,8 +208,22 @@ class MAPEvaluator:
             )
             log("class: %s, target_num = %d, AP = %.3f"
                 % (io.class_names[c], target_num[c], ap))
+            per_class_ap.append(ap)
             mAP += ap
         mAP /= num_cls
+        n_gt = int(target_num.sum())
+        # Detection rate = matched GT / total GT — the reference README's
+        # second headline metric (README.md:14-21, 检出率), which its code
+        # never computes; here it is first-class.
+        detection_rate = gt_matched / n_gt if n_gt else 0.0
+        self.last_metrics = {
+            "mAP": mAP,
+            "per_class_ap": per_class_ap,
+            "target_num": target_num.tolist(),
+            "detection_rate": detection_rate,
+        }
         log("mean AP: %.3f" % mAP)
+        log("detection rate: %.3f (%d/%d targets)"
+            % (detection_rate, gt_matched, n_gt))
         log("——————————————————————————")
         return mAP
