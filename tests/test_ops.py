@@ -1,5 +1,6 @@
 """Unit tests for the vectorised ops against simple reference implementations."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -124,3 +125,23 @@ def test_normalize():
     img = jnp.asarray(np.array([[0, 128, 255]], np.uint8))
     out = np.asarray(normalize(img))
     np.testing.assert_allclose(out, [[-128 / 255, 0.0, 127 / 255]], atol=1e-6)
+
+
+def test_batched_nms_packed_equals_dict():
+    from yolofastest_tpu.ops import batched_nms, unpack_detections
+
+    rng = np.random.RandomState(11)
+    b, k = 3, 32
+    boxes = np.sort(rng.uniform(0, 100, (b, k, 2, 2)), axis=2).reshape(b, k, 4)
+    boxes = np.concatenate([boxes[..., [0, 2]], boxes[..., [1, 3]]], -1)[..., [0, 2, 1, 3]]
+    conf = -np.sort(-rng.uniform(0, 1, (b, k))).astype(np.float32)
+    cls_score = rng.uniform(0, 1, (b, k)).astype(np.float32)
+    cls_idx = rng.randint(0, 3, (b, k)).astype(np.int32)
+    valid = conf > 0.3
+
+    args = (jnp.asarray(boxes, jnp.float32), jnp.asarray(conf),
+            jnp.asarray(cls_score), jnp.asarray(cls_idx), jnp.asarray(valid))
+    d = jax.tree.map(np.asarray, batched_nms(*args, iou_thre=0.2))
+    p = unpack_detections(batched_nms(*args, iou_thre=0.2, packed=True))
+    for key in ("boxes", "conf", "cls_score", "cls_idx", "valid", "count"):
+        np.testing.assert_array_equal(d[key], p[key], err_msg=key)

@@ -207,6 +207,7 @@ def cmd_export(args) -> int:
     from yolofastest_tpu.export import (
         export_detect_pipeline,
         export_folded_forward,
+        export_int8_forward,
         save_exported,
         save_native_weights,
     )
@@ -229,6 +230,21 @@ def cmd_export(args) -> int:
     exp = export_detect_pipeline(variables, cfg, batch=args.batch)
     save_exported(exp, os.path.join(args.out, "detect.stablehlo"))
     print("wrote", os.path.join(args.out, "detect.stablehlo"))
+
+    if args.calib_data:
+        import numpy as np
+
+        from yolofastest_tpu.inference.detector import load_net_input
+
+        names = sorted(f for f in os.listdir(args.calib_data)
+                       if f.lower().endswith(".jpg"))[:8]
+        cal = np.concatenate(
+            [load_net_input(os.path.join(args.calib_data, n), cfg.io)[0]
+             for n in names]
+        )
+        exp = export_int8_forward(variables, cfg, cal, batch=args.batch)
+        save_exported(exp, os.path.join(args.out, "forward_int8.stablehlo"))
+        print("wrote", os.path.join(args.out, "forward_int8.stablehlo"))
     return 0
 
 
@@ -300,6 +316,9 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--weights", required=True)
     x.add_argument("--out", required=True)
     x.add_argument("--batch", type=int, default=1)
+    x.add_argument("--calib-data", default=None,
+                   help="directory of calibration .jpg images; when given, "
+                        "also exports the int8 graph (forward_int8.stablehlo)")
     x.set_defaults(fn=cmd_export)
 
     c = sub.add_parser("convert", help="reference .pth -> zoo .npz")

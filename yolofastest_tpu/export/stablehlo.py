@@ -74,6 +74,40 @@ def export_detect_pipeline(
     return _export_fn(fn, (frames,))
 
 
+def export_int8_forward(
+    variables: Dict[str, Any],
+    config: Config,
+    calibration,
+    batch: int = 1,
+    fused: bool = False,
+) -> jexport.Exported:
+    """int8 deployment graph, quantised weights AND activation scales baked
+    in: (B,H,W,1) float net input -> (large, small) float heads.
+
+    The serialised analogue of the reference's quantised-NPU artifact
+    (``rknn.build(do_quantization=...)``, ``rknn_deploy.py:43`` — which the
+    reference left at fp16); ``calibration`` is a batch (or list of batches)
+    of net-input images, exactly like RKNN's calibration dataset list.
+    """
+    from yolofastest_tpu.models import fold_batchnorm
+    from yolofastest_tpu.quant import calibrate, quantize_weights
+    from yolofastest_tpu.quant.ptq import quantized_apply, quantized_apply_fused
+
+    io = config.io
+    folded = fold_batchnorm(jax.device_get(jax.tree.map(jnp.asarray, variables)))
+    batches = calibration if isinstance(calibration, (list, tuple)) else [calibration]
+    scales = calibrate(folded, batches)
+    qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
+    apply_q = quantized_apply_fused if fused else quantized_apply
+
+    def fn(x):
+        large, small = apply_q(qparams, scales, x)
+        return large.astype(jnp.float32), small.astype(jnp.float32)
+
+    x = jnp.zeros((batch, *io.input_hw, io.input_channels), jnp.float32)
+    return _export_fn(fn, (x,))
+
+
 def save_exported(exported: jexport.Exported, path: str) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:

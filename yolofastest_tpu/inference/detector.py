@@ -29,7 +29,8 @@ import numpy as np
 
 from yolofastest_tpu.configs import Config
 from yolofastest_tpu.models import YoloFastest, load_torch_checkpoint
-from yolofastest_tpu.ops import batched_nms, decode_heads, preprocess_device
+from yolofastest_tpu.ops import (batched_nms, decode_heads, preprocess_device,
+                                 unpack_detections)
 from yolofastest_tpu.utils.visualize import CLASS_COLORS, plot_one_box
 
 
@@ -116,23 +117,31 @@ class Detector:
             def _apply(variables, images):
                 return self.model.apply(variables, images, train=False)
 
-        @jax.jit
-        def _run(variables, images):
+        def _detect(variables, images, packed):
             heads = _apply(variables, images)
             boxes, conf, cls_score, cls_idx, valid = decode_heads(
                 heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
             )
             return batched_nms(
                 boxes, conf, cls_score, cls_idx, valid,
-                iou_thre=io.nms_thre, max_det=io.max_det,
+                iou_thre=io.nms_thre, max_det=io.max_det, packed=packed,
             )
+
+        @jax.jit
+        def _run(variables, images):
+            return _detect(variables, images, packed=False)
+
+        @jax.jit
+        def _run_packed(variables, images):
+            return _detect(variables, images, packed=True)
 
         @jax.jit
         def _run_raw(variables, bgr_batch):
             images = preprocess_device(bgr_batch, io.input_hw, compute_dtype)
-            return _run(variables, images)
+            return _detect(variables, images, packed=False)
 
         self._run = _run
+        self._run_packed = _run_packed
         self._run_raw = _run_raw
         self._warm: set = set()
 
@@ -163,13 +172,20 @@ class Detector:
             return
         io = self.config.io
         dummy = jnp.zeros((batch_size, *io.input_hw, io.input_channels), jnp.float32)
-        jax.block_until_ready(self._run(self.variables, dummy))
+        np.asarray(self._run_packed(self.variables, dummy))  # true D2H sync
         self._warm.add(batch_size)
 
     # ------------------------------------------------------------------ core
     def run(self, images) -> Dict[str, jax.Array]:
         """Detect on a normalised net-input batch (B, H, W, 1) float."""
         return self._run(self.variables, images)
+
+    def run_packed(self, images) -> jax.Array:
+        """Like :meth:`run` but returns ONE (B, max_det, 8) array — a single
+        device->host transfer instead of six (each dict leaf is a separate
+        fetch; through a remote runtime each fetch is a round-trip).
+        Decode on host with :func:`yolofastest_tpu.ops.unpack_detections`."""
+        return self._run_packed(self.variables, images)
 
     def run_raw(self, bgr_batch) -> Dict[str, jax.Array]:
         """Detect on raw (B, H0, W0, 3) uint8 BGR frames — preprocessing
@@ -227,9 +243,9 @@ class Detector:
                 )
 
             start = time.time()
-            det = self.run(jnp.asarray(net_in))
-            det = jax.tree.map(np.asarray, det)  # block until results on host
+            packed = np.asarray(self.run_packed(jnp.asarray(net_in)))  # ONE D2H
             infer_mark = time.time()
+            det = unpack_detections(packed)
             infer_time = (infer_mark - start) * 1e3 / n_valid
 
             all_rows = detections_to_lists(det)[:n_valid]

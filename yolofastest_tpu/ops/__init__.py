@@ -5,7 +5,7 @@ from yolofastest_tpu.ops.boxes import (
     xyxy2xywh,
 )
 from yolofastest_tpu.ops.decode import decode_heads
-from yolofastest_tpu.ops.nms import batched_nms
+from yolofastest_tpu.ops.nms import batched_nms, unpack_detections
 from yolofastest_tpu.ops.preprocess import (
     bgr_to_gray,
     downsample2x,
@@ -15,6 +15,7 @@ from yolofastest_tpu.ops.preprocess import (
 
 __all__ = [
     "batched_nms",
+    "unpack_detections",
     "bgr_to_gray",
     "box_iou_matrix",
     "decode_heads",

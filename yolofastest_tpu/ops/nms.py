@@ -47,7 +47,8 @@ def nms_keep_mask(boxes, conf, cls_idx, valid, iou_thre: float,
 
 
 def batched_nms(boxes, conf, cls_score, cls_idx, valid, iou_thre: float,
-                max_det: int = 64, pixel_offset: float = 0.0) -> Dict[str, jax.Array]:
+                max_det: int = 64, pixel_offset: float = 0.0,
+                packed: bool = False):
     """Batched class-aware NMS.
 
     Args:
@@ -57,10 +58,16 @@ def batched_nms(boxes, conf, cls_score, cls_idx, valid, iou_thre: float,
       iou_thre: suppression threshold.
       max_det: static output size per image.
       pixel_offset: IOU convention (0 = detect.py NMS, 1 = training utils).
+      packed: return ONE (B, max_det, 8) float32 array
+        ``(x1, y1, x2, y2, conf, cls_score, cls_idx, valid)`` instead of a
+        dict — a single device->host transfer for latency-critical serving
+        (each dict leaf is a separate D2H fetch; see
+        :func:`unpack_detections`).
 
     Returns:
       dict with ``boxes`` (B,max_det,4), ``conf``, ``cls_score``, ``cls_idx``,
-      ``valid`` (B,max_det) and ``count`` (B,) — conf-descending, valid first.
+      ``valid`` (B,max_det) and ``count`` (B,) — conf-descending, valid first
+      — or the packed array when ``packed=True``.
     """
     keep = jax.vmap(
         lambda b, c, i, v: nms_keep_mask(b, c, i, v, iou_thre, pixel_offset)
@@ -80,6 +87,8 @@ def batched_nms(boxes, conf, cls_score, cls_idx, valid, iou_thre: float,
         axis=-1,
     )  # (B, K, 8)
     picked = jnp.take_along_axis(stacked, order[..., None], axis=1)
+    if packed:
+        return picked  # (B, max_det, 8)
     return {
         "boxes": picked[..., 0:4],
         "conf": picked[..., 4],
@@ -87,4 +96,21 @@ def batched_nms(boxes, conf, cls_score, cls_idx, valid, iou_thre: float,
         "cls_idx": picked[..., 6].astype(jnp.int32),
         "valid": picked[..., 7] > 0.5,
         "count": jnp.sum(keep.astype(jnp.int32), axis=1).clip(0, max_det),
+    }
+
+
+def unpack_detections(packed) -> Dict:
+    """Host-side inverse of ``batched_nms(..., packed=True)``: one fetched
+    (B, max_det, 8) array -> the standard detection dict (numpy)."""
+    import numpy as np
+
+    packed = np.asarray(packed)
+    valid = packed[..., 7] > 0.5
+    return {
+        "boxes": packed[..., 0:4],
+        "conf": packed[..., 4],
+        "cls_score": packed[..., 5],
+        "cls_idx": packed[..., 6].astype(np.int32),
+        "valid": valid,
+        "count": valid.sum(axis=-1).astype(np.int32),
     }
