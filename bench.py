@@ -184,19 +184,20 @@ def main():
                            iou_thre=io.nms_thre, max_det=io.max_det,
                            packed=True)
 
-    # Runtime round-trip floor: p50 of fetching a 4-byte device array.  On a
+    # Runtime round-trip floor: p50 of an H2D put + D2H fetch of a fresh
+    # 4-byte array each rep (a cached fetch would measure nothing).  On a
     # host-attached TPU this is ~10 us; through the axon tunnel it is the
     # dominant term of single-image latency, so report it separately.
-    tiny = jax.device_put(jnp.zeros((1,), jnp.float32))
-    np.asarray(tiny)
+    tiny_host = np.zeros((1,), np.float32)
+    np.asarray(jax.device_put(tiny_host))  # warm the path
     rtts = []
     for _ in range(30):
         t0 = time.perf_counter()
-        np.asarray(tiny)
+        np.asarray(jax.device_put(tiny_host))
         rtts.append(time.perf_counter() - t0)
     rtt_p50, _ = _percentiles(rtts)
     extras["runtime_rtt_ms"] = round(rtt_p50, 2)
-    print(f"runtime D2H round-trip floor: p50 {rtt_p50:.2f} ms", file=sys.stderr)
+    print(f"runtime H2D+D2H round-trip floor: p50 {rtt_p50:.2f} ms", file=sys.stderr)
 
     for b in (1, 8):
         frames_host = rng.integers(0, 256, (b, *io.input_hw), np.uint8)

