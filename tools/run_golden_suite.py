@@ -96,11 +96,18 @@ def run_resolution(res, out_dir):
     x = jnp.asarray(imgs)
     for name, fn in backends.items():
         det = jax.tree.map(np.asarray, fn(x))  # warm
-        t0 = time.perf_counter()
-        det = jax.tree.map(np.asarray, fn(x))
-        dt = (time.perf_counter() - t0) * 1e3 / len(imgs)
+        best = float("inf")
+        for _ in range(3):  # best-of-3: immune to transient host load
+            t0 = time.perf_counter()
+            det = jax.tree.map(np.asarray, fn(x))
+            best = min(best, time.perf_counter() - t0)
+        dt = best * 1e3 / len(imgs)
         m, n = recall_vs_golden(det, golden)
-        results[name] = {"recall": f"{m}/{n}", "ms_per_img_batched": round(dt, 3)}
+        results[name] = {
+            "recall": f"{m}/{n}",
+            "detection_rate": round(m / n, 4),
+            "ms_per_img_batched": round(dt, 3),
+        }
         print(f"[{res}] {name}: recall {m}/{n}, {dt:.2f} ms/img (batch-20)")
 
     # native C++ engine
@@ -112,23 +119,61 @@ def run_resolution(res, out_dir):
         yfb = os.path.join(out_dir, f"model_{res}.yfb")
         save_native_weights(folded, yfb)
         eng = NativeEngine(yfb, cfg)
-        matched = total_ms = 0
-        for b in range(len(imgs)):
-            t0 = time.perf_counter()
-            rows = eng.detect(imgs[b])
-            total_ms += (time.perf_counter() - t0) * 1e3
-            want = golden[golden[:, 0] == b]
-            for w in want:
-                matched += any(
-                    int(r[6]) == int(w[7]) and iou(r[:4], w[1:5]) > 0.5 for r in rows
-                )
+        matched = 0
+        best_total = float("inf")
+        for rep in range(3):  # best-of-3 passes over the set
+            total_ms = 0.0
+            for b in range(len(imgs)):
+                t0 = time.perf_counter()
+                rows = eng.detect(imgs[b])
+                total_ms += (time.perf_counter() - t0) * 1e3
+                if rep == 0:
+                    want = golden[golden[:, 0] == b]
+                    for w in want:
+                        matched += any(
+                            int(r[6]) == int(w[7]) and iou(r[:4], w[1:5]) > 0.5
+                            for r in rows
+                        )
+            best_total = min(best_total, total_ms)
         results["native-cpp"] = {
             "recall": f"{matched}/{len(golden)}",
-            "ms_per_img": round(total_ms / len(imgs), 2),
+            "detection_rate": round(matched / len(golden), 4),
+            "ms_per_img": round(best_total / len(imgs), 2),
         }
         print(f"[{res}] native-cpp: recall {matched}/{len(golden)}, "
-              f"{total_ms/len(imgs):.2f} ms/img (single-image)")
+              f"{best_total/len(imgs):.2f} ms/img (single-image)")
     return results
+
+
+def _methodology():
+    """Record HOW the numbers were taken, so future readers can reconcile
+    (round-1 committed numbers were taken under CPU contention and
+    understated the native engine ~2.5x)."""
+    import datetime
+    import multiprocessing
+    import platform
+
+    import jax
+
+    dev = jax.devices()[0]
+    try:
+        load = os.getloadavg()
+    except OSError:
+        load = None
+    return {
+        "timestamp_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "host": platform.platform(),
+        "host_cpus": multiprocessing.cpu_count(),
+        "loadavg_at_start": load,
+        "jax_device": f"{dev.platform} {getattr(dev, 'device_kind', '?')}",
+        "timing": "best-of-3 passes, warm compile, perf_counter around "
+                  "dispatch + full D2H fetch; native engine timed "
+                  "single-image sequential (OpenMP threads = host cpus)",
+        "detection_rate": "fraction of the committed reference-PC golden "
+                          "detections reproduced at IOU>0.5 with same class "
+                          "(the reference README's 检出率 analogue, vs the "
+                          "reference detector as pseudo-GT)",
+    }
 
 
 def main():
@@ -136,7 +181,7 @@ def main():
     ap.add_argument("--out", default="golden_suite_results")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    table = {}
+    table = {"methodology": _methodology()}
     for res in ("256x320", "512x640"):
         table[res] = run_resolution(res, args.out)
     path = os.path.join(args.out, "summary.json")
