@@ -22,3 +22,12 @@ def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)  # raises on any sharding/compile failure
+
+
+@pytest.mark.slow
+def test_dryrun_multiprocess_2x2():
+    """2 real processes x 2 virtual devices: jax.distributed mesh, per-host
+    batch feeding, replicated metrics agree across ranks."""
+    import __graft_entry__ as g
+
+    g._dryrun_multiprocess(n_processes=2, devices_per_process=2)

@@ -101,6 +101,30 @@ def test_tcls_sticky_on_cell_collision():
                                rtol=1e-5)
 
 
+def test_loss_grads_finite_at_sigmoid_saturation(golden):
+    """A converged checkpoint drives conf logits past float32 sigmoid
+    saturation (sigmoid(z) == exactly 0.0 or 1.0).  The probability-space
+    BCE has a 0*inf=NaN gradient there; the logit-space formulation must
+    stay finite (this NaN'd fine-tuning from the reference checkpoint)."""
+    import jax
+
+    cfg = get_config("256x320")
+    head = np.array(_nhwc(golden["head0"]), np.float32)
+    head[..., :] = 40.0  # sigmoid(40) == 1.0 exactly in float32
+    head[..., 4::8] = -40.0  # conf channels: sigmoid == 0.0 exactly
+    targets = jnp.asarray(golden["targets"])
+
+    def f(h):
+        return yolo_loss(
+            h, targets, cfg.io.anchors[0], cfg.io.input_hw,
+            cfg.train.iou_loss_thre, cfg.io.num_cls,
+        )[0]
+
+    loss, g = jax.value_and_grad(f)(jnp.asarray(head))
+    assert bool(jnp.isfinite(loss))
+    assert bool(jnp.all(jnp.isfinite(g))), "NaN grads at sigmoid saturation"
+
+
 def test_loss_is_differentiable(golden):
     import jax
 

@@ -1,0 +1,77 @@
+"""Worker for the multi-PROCESS CPU dry run (one rank of N).
+
+Spawned by ``__graft_entry__.dryrun_multichip`` (and
+``tests/test_multiprocess.py``): each process owns M virtual CPU devices,
+joins a ``jax.distributed`` coordinator, builds ONE global mesh over all
+N x M devices, and runs one full SPMD train step feeding only its local
+shard of the global batch — the exact wiring a TPU pod uses, minus the pod.
+
+Usage: python tools/mp_dryrun_worker.py PORT PROCESS_ID NUM_PROCESSES LOCAL_DEVICES
+Prints ``MP_OK rank=<r> loss=<v>`` on success.
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    port, pid, nproc, n_local = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+    # drop any inherited device-count flag (e.g. from the test conftest),
+    # then pin this worker's own virtual device count
+    kept = [f for f in os.environ.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")]
+    os.environ["XLA_FLAGS"] = " ".join(
+        kept + [f"--xla_force_host_platform_device_count={n_local}"]
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # axon plugin outranks env var
+
+    import numpy as np
+
+    from yolofastest_tpu.configs import Config, IOConfig
+    from yolofastest_tpu.parallel import init_distributed
+    from yolofastest_tpu.train import Trainer
+
+    init_distributed(coordinator_address=f"localhost:{port}",
+                     num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.local_devices()) == n_local
+
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices())  # global: nproc * n_local devices
+    mesh = Mesh(devs, ("data",))
+
+    io = IOConfig(
+        input_shape=(64, 96, 1),
+        origin_img_shape=(128, 192, 3),
+        anchors=(
+            ((10.0, 13.0), (16.0, 30.0), (33.0, 23.0)),
+            ((60.0, 40.0), (50.0, 50.0), (40.0, 60.0)),
+        ),
+    )
+    cfg = Config(io=io)
+    trainer = Trainer(cfg, mesh=mesh, batch_per_epoch=10, seed=0)
+
+    # Per-host feeding: each rank materialises ONLY its shard of the global
+    # batch (2 examples per device), with rank-dependent content.
+    rng = np.random.default_rng(pid)
+    per_host = 2 * n_local
+    imgs = rng.standard_normal((per_host, 64, 96, 1)).astype(np.float32) * 0.2
+    tgts = np.zeros((per_host, cfg.train.max_boxes, 6), np.float32)
+    tgts[:, 0] = [0.5, 0.5, 0.25, 0.25, 1.0, 255.0]
+
+    m = trainer.step(imgs, tgts)
+    m = trainer.step(imgs, tgts)  # second step: donated state stays valid
+    loss = float(m["total"])  # replicated metric: addressable on every rank
+    assert np.isfinite(loss), loss
+    assert int(trainer.state.step) == 2
+    print(f"MP_OK rank={pid} loss={loss:.5f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

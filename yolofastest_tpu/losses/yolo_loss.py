@@ -47,6 +47,24 @@ def _bce(pred, target):
     return -(target * _safe_log(pred) + (1.0 - target) * _safe_log(1.0 - pred))
 
 
+def _softplus_c(z):
+    """softplus clamped at 100 == the -100 log clamp of torch BCELoss
+    (``-log sigmoid(z) = softplus(-z)``)."""
+    return jnp.minimum(jax.nn.softplus(z), -_LOG_CLAMP)
+
+
+def _bce_logits(z, target):
+    """BCE of ``sigmoid(z)`` vs target, computed FROM LOGITS.
+
+    Analytically identical to ``_bce(sigmoid(z), target)`` including the
+    torch -100 clamp, but with finite gradients when the sigmoid saturates
+    to exactly 0/1 in float32 — a converged checkpoint's conf logits do,
+    and ``max(log(0), -100)`` there has a ``0 * inf = NaN`` VJP that
+    poisons every gradient (observed: fine-tuning from the reference
+    checkpoint NaN'd on step 1 before this formulation)."""
+    return target * _softplus_c(-z) + (1.0 - target) * _softplus_c(z)
+
+
 def _shape_iou(gw, gh, anchors_wh):
     """Shape-only IOU of GT (w,h) vs each anchor, with the reference's
     +1-pixel convention (``utils/general.py:44-48``): boxes are
@@ -222,12 +240,12 @@ def yolo_loss(
     # -> (B, A, H, W, attrs) to mirror the reference layout for readability
     p = p.transpose(0, 3, 1, 2, 4)
 
-    x = jax.nn.sigmoid(p[..., 0])
-    y = jax.nn.sigmoid(p[..., 1])
+    zx = p[..., 0]  # raw logits; BCE computed from logits (see _bce_logits)
+    zy = p[..., 1]
     tw_p = p[..., 2]
     th_p = p[..., 3]
-    conf = jax.nn.sigmoid(p[..., 4])
-    pred_cls = jax.nn.sigmoid(p[..., 5:])
+    z_conf = p[..., 4]
+    z_cls = p[..., 5:]
 
     tgt = build_targets(targets, scaled, (h, w), ignore_thre, num_cls)
     mask = tgt["mask"]
@@ -237,17 +255,17 @@ def yolo_loss(
 
     # Masked products + full-tensor mean == reference nn.BCELoss()(x*mask, tx*mask)
     # (masked-out cells contribute exactly 0 to the numerator).
-    loss_x = jnp.sum(mask * _bce(x, tgt["tx"])) / n_total
-    loss_y = jnp.sum(mask * _bce(y, tgt["ty"])) / n_total
+    loss_x = jnp.sum(mask * _bce_logits(zx, tgt["tx"])) / n_total
+    loss_y = jnp.sum(mask * _bce_logits(zy, tgt["ty"])) / n_total
     loss_w = jnp.sum(mask * (tw_p - tgt["tw"]) ** 2) / n_total
     loss_h = jnp.sum(mask * (th_p - tgt["th"]) ** 2) / n_total
     loss_conf = (
-        jnp.sum(mask * -_safe_log(conf)) / n_total
-        + 0.5 * jnp.sum(noobj * -_safe_log(1.0 - conf)) / n_total
+        jnp.sum(mask * _softplus_c(-z_conf)) / n_total  # -log sigmoid
+        + 0.5 * jnp.sum(noobj * _softplus_c(z_conf)) / n_total  # -log(1-sigmoid)
     )
 
     n_pos = jnp.sum(mask)
-    cls_sum = jnp.sum(mask[..., None] * _bce(pred_cls, tgt["tcls"]))
+    cls_sum = jnp.sum(mask[..., None] * _bce_logits(z_cls, tgt["tcls"]))
     loss_cls = jnp.where(n_pos > 0, cls_sum / (n_pos * num_cls + 1e-16), 0.0)
 
     lambda_xy, lambda_wh = 2.5, 2.5

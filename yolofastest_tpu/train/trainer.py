@@ -148,8 +148,10 @@ class Trainer:
         tr = config.train
         self.batch_per_epoch = batch_per_epoch
 
-        from yolofastest_tpu.parallel import batch_sharding, make_mesh
+        from yolofastest_tpu.parallel import batch_sharding, host_to_global, make_mesh
         from yolofastest_tpu.parallel import replicate as _replicate
+
+        self._host_to_global = host_to_global
 
         if mesh is None:
             mesh = make_mesh()
@@ -187,7 +189,11 @@ class Trainer:
             opt_state=self.tx.init(variables["params"]),
             step=jnp.zeros((), jnp.int32),
         )
-        self.state = jax.device_put(state, replicated)
+        # host_to_global handles multi-process meshes (every host holds the
+        # full replicated state); plain device_put in single-process runs.
+        self.state = jax.tree.map(
+            lambda x: host_to_global(replicated, np.asarray(x)), state
+        )
 
         step_fn = make_train_step(self.model, self.tx, config, self.lr_schedule)
         self._train_step = jax.jit(
@@ -199,8 +205,12 @@ class Trainer:
 
     # ------------------------------------------------------------------ steps
     def step(self, imgs: np.ndarray, targets: np.ndarray) -> Dict[str, float]:
-        imgs = jax.device_put(jnp.asarray(imgs), self.img_sharding)
-        targets = jax.device_put(jnp.asarray(targets), self.tgt_sharding)
+        """One SPMD step.  In a multi-process run ``imgs``/``targets`` are
+        this host's SHARD of the global batch (per-host feeding,
+        ``jax.make_array_from_process_local_data``); single-process runs pass
+        the whole batch — one code path either way."""
+        imgs = self._host_to_global(self.img_sharding, imgs)
+        targets = self._host_to_global(self.tgt_sharding, targets)
         self.state, metrics = self._train_step(self.state, imgs, targets)
         return metrics
 
