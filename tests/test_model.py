@@ -49,3 +49,42 @@ def test_train_mode_updates_batch_stats():
     before = variables["batch_stats"]["conv0"]["bn"]["mean"]
     after = mutated["batch_stats"]["conv0"]["bn"]["mean"]
     assert not jnp.allclose(before, after)
+
+
+def test_lite_end_to_end_train_and_detect(tmp_path):
+    """The lite single-head variant drives the SAME trainer/evaluator/
+    detector stack (one anchor group, stride 32) — reference YoloFastest_lite
+    was dead code; here it is a first-class arch."""
+    import dataclasses
+
+    import numpy as np
+
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.inference import Detector
+    from yolofastest_tpu.train import Trainer
+
+    cfg = get_config("lite-256x320")
+    assert cfg.io.strides == (32,) and len(cfg.io.anchors) == 1
+    io = dataclasses.replace(cfg.io, input_shape=(64, 96, 1),
+                             anchors=(((60.0, 40.0), (50.0, 50.0), (40.0, 60.0)),),
+                             conf_thre=0.05)
+    cfg = dataclasses.replace(cfg, io=io)
+
+    trainer = Trainer(cfg, batch_per_epoch=4, seed=0, arch="lite")
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((8, 64, 96, 1)).astype(np.float32) * 0.2
+    tgts = np.zeros((8, cfg.train.max_boxes, 6), np.float32)
+    tgts[:, 0] = [0.5, 0.5, 0.5, 0.5, 1, 255.0]
+    losses = [float(trainer.step(imgs, tgts)["total"]) for _ in range(6)]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+    det = Detector(cfg, variables=trainer.variables, arch="lite")
+    out = det.run(imgs)
+    n_cand = 3 * (64 // 32) * (96 // 32)  # single stride-32 head
+    assert np.asarray(out["boxes"]).shape == (8, min(n_cand, cfg.io.max_det), 4)
+    assert np.isfinite(np.asarray(out["conf"])).all()
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        Detector(cfg, variables=trainer.variables, arch="lite", backend="int8")

@@ -164,6 +164,53 @@ def test_evaluator_counts_tail_batch_targets(dataset):
     assert counted == n_gt_total
 
 
+def test_map_matcher_scales_to_2000_images():
+    """The vectorised per-image IOU-matrix matcher must stay negligible at a
+    real val-epoch scale (~2000 images): the reference's Python evaluator is
+    the CPU hot spot of its train loop (SURVEY.md §3.1); ours must not be."""
+    import time
+
+    cfg = tiny_config()
+    n_img, bs = 2000, 50
+    rng = np.random.default_rng(0)
+    h, w = cfg.io.input_hw
+    max_det = cfg.io.max_det
+
+    batches = []
+    dets = []
+    for _ in range(n_img // bs):
+        tgts = np.zeros((bs, cfg.train.max_boxes, 6), np.float32)
+        n_gt = rng.integers(1, 6, bs)
+        for b in range(bs):
+            for t in range(n_gt[b]):
+                tgts[b, t] = [*rng.uniform(0.2, 0.8, 2), 0.2, 0.2,
+                              rng.integers(0, 3), 255.0]
+        batches.append((np.zeros((bs, h, w, 1), np.float32), tgts))
+        boxes = np.sort(rng.uniform(0, w, (bs, max_det, 2, 2)), 2).reshape(bs, max_det, 4)
+        d = {
+            "boxes": boxes[..., [0, 2, 1, 3]].astype(np.float32),
+            "conf": rng.uniform(0.5, 1, (bs, max_det)).astype(np.float32),
+            "cls_score": np.ones((bs, max_det), np.float32),
+            "cls_idx": rng.integers(0, 3, (bs, max_det)).astype(np.int32),
+            "valid": np.ones((bs, max_det), bool),
+            "count": np.full(bs, 12, np.int32),
+        }
+        dets.append(d)
+
+    evaluator = MAPEvaluator(cfg, batches)
+    it = iter(dets)
+    evaluator.eval_fn = lambda variables, imgs: next(it)  # isolate host side
+
+    t0 = time.perf_counter()
+    mAP = evaluator(variables=None, epoch=0)
+    dt = time.perf_counter() - t0
+    assert 0.0 <= mAP <= 1.0
+    # 2000 images x 12 detections: matching + PR sweep must be seconds, not
+    # minutes, on the 1-core CPU (measured ~1.5 s; reference loop was ~100x)
+    assert dt < 20.0, f"host matching took {dt:.1f}s for {n_img} images"
+    print(f"2000-image val-epoch host matching: {dt:.2f}s")
+
+
 def test_fit_rotates_checkpoints(dataset, tmp_path):
     import dataclasses
 

@@ -103,7 +103,8 @@ def cmd_detect(args) -> int:
 
     detector = Detector(cfg, variables=variables, logger=logger,
                         fold_bn=args.fold_bn, backend=backend,
-                        calibration=calibration, calibration_cache=cache)
+                        calibration=calibration, calibration_cache=cache,
+                        arch=args.arch)
     detector.batch_detect(args.data, args.out, batch_size=args.batch)
     return 0
 
@@ -139,7 +140,8 @@ def cmd_train(args) -> int:
         val_idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
         val_loader = DetectionLoader(val_idx, cfg, augment=False,
                                      shuffle=False, drop_last=False)
-        validator = MAPEvaluator(cfg, val_loader, logger=logger)
+        validator = MAPEvaluator(cfg, val_loader, logger=logger,
+                                 arch=args.arch)
 
     variables = _load_weights(args.pretrained) if args.pretrained else None
     if variables is not None:
@@ -148,7 +150,7 @@ def cmd_train(args) -> int:
         logger.info("initialize model")
 
     trainer = Trainer(cfg, batch_per_epoch=len(loader), variables=variables,
-                      logger=logger)
+                      logger=logger, arch=args.arch)
     start_epoch = 0
     if args.resume:
         path = args.resume
@@ -190,7 +192,7 @@ def cmd_eval(args) -> int:
     idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
     loader = DetectionLoader(idx, cfg, augment=False, shuffle=False,
                              drop_last=False)
-    evaluator = MAPEvaluator(cfg, loader, logger=logger)
+    evaluator = MAPEvaluator(cfg, loader, logger=logger, arch=args.arch)
     variables = _load_weights(args.weights)
     import jax
 
@@ -271,10 +273,13 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     d = sub.add_parser("detect", help="batch-detect a directory of images")
-    d.add_argument("--config", default="256x320", choices=["256x320", "512x640"])
+    d.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
     d.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
     d.add_argument("--data", required=True)
     d.add_argument("--out", required=True)
+    d.add_argument("--arch", default="fastest", choices=["fastest", "lite"],
+                   help="model architecture (lite = single-head variant; "
+                        "use with --config lite-256x320)")
     d.add_argument("--backend", default="fp",
                    choices=["fp", "jax", "native", "int8", "int8-fused"])
     d.add_argument("--fold-bn", action="store_true",
@@ -288,7 +293,7 @@ def build_parser() -> argparse.ArgumentParser:
     d.set_defaults(fn=cmd_detect)
 
     t = sub.add_parser("train", help="train on a VOC-XML dataset")
-    t.add_argument("--config", default="256x320", choices=["256x320", "512x640"])
+    t.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
     t.add_argument("--train-dir", required=True)
     t.add_argument("--val-dir", default=None)
     t.add_argument("--epochs", type=int, default=None)
@@ -298,6 +303,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax checkpoint dir to resume, or 'latest' to pick "
                         "the newest epoch in --checkpoint-dir")
     t.add_argument("--checkpoint-dir", default="checkpoints")
+    t.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
     t.add_argument("--max-to-keep", type=int, default=None,
                    help="rotate old epoch checkpoints, keeping the newest N "
                         "(0 keeps all; default from config)")
@@ -305,14 +311,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="mAP on a VOC-XML val set")
-    e.add_argument("--config", default="256x320", choices=["256x320", "512x640"])
+    e.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
     e.add_argument("--weights", required=True)
     e.add_argument("--val-dir", required=True)
+    e.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
     e.add_argument("--log-dir", default="logs")
     e.set_defaults(fn=cmd_eval)
 
     x = sub.add_parser("export", help="export StableHLO + native weights")
-    x.add_argument("--config", default="256x320", choices=["256x320", "512x640"])
+    x.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
     x.add_argument("--weights", required=True)
     x.add_argument("--out", required=True)
     x.add_argument("--batch", type=int, default=1)

@@ -149,9 +149,23 @@ def config_512x640(**overrides) -> Config:
     return Config(io=io)
 
 
+def config_lite_256x320(**overrides) -> Config:
+    """The single-head YoloFastest-lite preset: stride-32 deep head only
+    (reference ``YoloFastest_lite``, ``yolo_fastest.py:234-372``), so one
+    anchor group (the coarse one)."""
+    io = IOConfig(
+        input_shape=(256, 320, 1),
+        anchors=_ANCHOR_GROUPS[1:2],
+        strides=(32,),
+        **{k: v for k, v in overrides.items() if k in IOConfig.__dataclass_fields__},
+    )
+    return Config(io=io)
+
+
 _PRESETS = {
     "256x320": config_256x320,
     "512x640": config_512x640,
+    "lite-256x320": config_lite_256x320,
 }
 
 

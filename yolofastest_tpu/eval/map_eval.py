@@ -50,6 +50,8 @@ def make_eval_fn(model: YoloFastest, config: Config):
     @jax.jit
     def eval_fn(variables, imgs):
         heads = model.apply(variables, imgs, train=False)
+        if not isinstance(heads, (tuple, list)):  # lite: single head
+            heads = (heads,)
         dec = jnp.concatenate(
             [decode_for_eval(h, a, io.input_hw) for h, a in zip(heads, io.anchors)],
             axis=1,
@@ -121,13 +123,18 @@ class MAPEvaluator:
     """
 
     def __init__(self, config: Config, loader, model: Optional[YoloFastest] = None,
-                 logger=None):
+                 logger=None, arch: str = "fastest"):
         self.config = config
         self.loader = loader
         self.logger = logger
-        self.model = model or YoloFastest(
-            num_cls=config.io.num_cls, num_anchors=config.io.num_anchors
-        )
+        if model is None:
+            if arch == "lite":
+                from yolofastest_tpu.models import YoloFastestLite as _Cls
+            else:
+                _Cls = YoloFastest
+            model = _Cls(num_cls=config.io.num_cls,
+                         num_anchors=config.io.num_anchors)
+        self.model = model
         self.eval_fn = make_eval_fn(self.model, config)
 
     def __call__(self, variables, epoch: int = 0) -> float:

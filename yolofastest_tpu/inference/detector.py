@@ -62,6 +62,7 @@ class Detector:
         backend: str = "fp",
         calibration=None,
         calibration_cache: Optional[str] = None,
+        arch: str = "fastest",
     ):
         if variables is None:
             if torch_checkpoint is None:
@@ -69,10 +70,19 @@ class Detector:
             variables = load_torch_checkpoint(torch_checkpoint)
         if backend not in ("fp", "int8", "int8-fused"):
             raise ValueError(f"unknown backend {backend!r}")
+        if arch not in ("fastest", "lite"):
+            raise ValueError(f"unknown arch {arch!r}")
+        if arch == "lite" and backend != "fp":
+            raise NotImplementedError(
+                "int8 backends drive the two-head topology walker; lite is "
+                "fp-only for now"
+            )
         self.config = config
         self.backend = backend
+        self.arch = arch
         self.variables = jax.tree.map(jnp.asarray, variables)
-        self.model = YoloFastest(
+        model_cls = YoloFastest if arch == "fastest" else _lite_cls()
+        self.model = model_cls(
             num_cls=config.io.num_cls,
             num_anchors=config.io.num_anchors,
             compute_dtype=compute_dtype,
@@ -104,18 +114,20 @@ class Detector:
         elif fold_bn:
             # Deployment mode: run the BN-folded graph (the converted-model
             # analogue, models/graph.py) — skips the BN arithmetic entirely.
-            from yolofastest_tpu.models import fold_batchnorm, folded_apply
+            from yolofastest_tpu.models import (fold_batchnorm, folded_apply,
+                                                folded_apply_lite)
 
             folded = jax.tree.map(
                 jnp.asarray, fold_batchnorm(jax.device_get(self.variables))
             )
             self.variables = folded
+            apply_folded = folded_apply if arch == "fastest" else folded_apply_lite
 
             def _apply(variables, images):
-                return folded_apply(variables, images, compute_dtype)
+                return _as_heads(apply_folded(variables, images, compute_dtype))
         else:
             def _apply(variables, images):
-                return self.model.apply(variables, images, train=False)
+                return _as_heads(self.model.apply(variables, images, train=False))
 
         def _detect(variables, images, packed):
             heads = _apply(variables, images)
@@ -278,6 +290,17 @@ class Detector:
         avg = avg_time / max(len(names), 1)
         log("detect avg_time: %.2fms" % avg)
         return avg
+
+
+def _as_heads(out):
+    """Normalise a model output to a tuple of heads (lite emits one array)."""
+    return out if isinstance(out, (tuple, list)) else (out,)
+
+
+def _lite_cls():
+    from yolofastest_tpu.models import YoloFastestLite
+
+    return YoloFastestLite
 
 
 def load_net_input(img_path: str, io) -> Tuple[np.ndarray, np.ndarray]:

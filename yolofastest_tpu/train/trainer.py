@@ -70,6 +70,8 @@ def make_train_step(
                 train=True,
                 mutable=["batch_stats"],
             )
+            if not isinstance(heads, (tuple, list)):  # lite: single head
+                heads = (heads,)
             loss, comps = total_loss(
                 heads,
                 targets,
@@ -141,12 +143,14 @@ class Trainer:
         logger=None,
         compute_dtype=jnp.float32,
         shard_spatial: bool = False,
+        arch: str = "fastest",
     ):
         self.config = config
         self.logger = logger
         io = config.io
         tr = config.train
         self.batch_per_epoch = batch_per_epoch
+        self.arch = arch
 
         from yolofastest_tpu.parallel import batch_sharding, host_to_global, make_mesh
         from yolofastest_tpu.parallel import replicate as _replicate
@@ -157,7 +161,11 @@ class Trainer:
             mesh = make_mesh()
         self.mesh = mesh
 
-        self.model = YoloFastest(
+        if arch == "lite":
+            from yolofastest_tpu.models import YoloFastestLite as _ModelCls
+        else:
+            _ModelCls = YoloFastest
+        self.model = _ModelCls(
             num_cls=io.num_cls, num_anchors=io.num_anchors, compute_dtype=compute_dtype
         )
         if variables is None:
