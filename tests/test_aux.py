@@ -75,3 +75,41 @@ def test_trainer_skips_nonfinite_gradients():
 
     m = trainer.step(good, tgts)  # training continues normally
     assert np.isfinite(float(m["total"]))
+
+
+def test_fit_aborts_on_persistent_nonfinite_streak(tmp_path):
+    """Failure detection: a PERSISTENT non-finite streak aborts fit() with a
+    clean RuntimeError and params untouched — instead of apply_if_finite
+    silently 'giving up and accepting' the NaN update (optax behaviour that
+    destroyed a fine-tune before the guard)."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    from tests.test_train import tiny_config
+    from yolofastest_tpu.train import Trainer
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, abort_nonfinite_streak=3,
+                                       log_every=1)
+    )
+    trainer = Trainer(cfg, batch_per_epoch=4, seed=0)
+    params_before = jax.device_get(trainer.state.params)
+
+    rng = np.random.default_rng(0)
+    bad = rng.standard_normal((8, 64, 96, 1)).astype(np.float32)
+    bad[:, 0, 0, 0] = np.inf  # every batch poisoned -> persistent streak
+    tgts = np.zeros((8, cfg.train.max_boxes, 6), np.float32)
+    tgts[:, 0] = [0.5, 0.5, 0.25, 0.25, 1, 255.0]
+
+    loader = [(bad, tgts)] * 8
+    with pytest.raises(RuntimeError, match="consecutive steps with non-finite"):
+        trainer.fit(loader, total_epochs=1, log_every=1)
+
+    params_after = jax.device_get(trainer.state.params)
+    for a, b in zip(jax.tree.leaves(params_before),
+                    jax.tree.leaves(params_after)):
+        np.testing.assert_array_equal(a, b)
+        assert np.isfinite(b).all()

@@ -97,6 +97,12 @@ class TrainConfig:
     # diverges where unclipped training is stable (docs/DESIGN.md).
     grad_clip_norm: float = 0.0
     checkpoint_dir: str = "checkpoints"
+    # Failure detection: abort training (clean RuntimeError) once this many
+    # CONSECUTIVE steps had non-finite grads.  Updates are skipped while the
+    # streak lasts, so params are never poisoned (optax.apply_if_finite alone
+    # "gives up and accepts" the bad update after its error budget — measured
+    # destroying a fine-tune in round 2).
+    abort_nonfinite_streak: int = 25
     # Keep only the newest N epoch checkpoints (0 = keep all).  The reference
     # keeps all 30 (train.py:160); rotation is the sane production default.
     max_to_keep: int = 5

@@ -21,7 +21,8 @@ import numpy as np
 
 from yolofastest_tpu.configs import Config
 from yolofastest_tpu.models import YoloFastest
-from yolofastest_tpu.ops import batched_nms, decode_heads, normalize
+from yolofastest_tpu.ops import (batched_nms, decode_heads, normalize,
+                                 unpack_detections)
 
 
 class StreamingDetector:
@@ -52,8 +53,11 @@ class StreamingDetector:
             boxes, conf, cls_score, cls_idx, valid = decode_heads(
                 heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
             )
+            # packed: the whole detection set is ONE array -> one D2H fetch
+            # per batch instead of six (each dict leaf is a transfer)
             return batched_nms(boxes, conf, cls_score, cls_idx, valid,
-                               iou_thre=io.nms_thre, max_det=io.max_det)
+                               iou_thre=io.nms_thre, max_det=io.max_det,
+                               packed=True)
 
         self._pipeline = pipeline
 
@@ -62,7 +66,7 @@ class StreamingDetector:
         for frames in frame_batches:
             out = self._pipeline(self.variables, jnp.asarray(frames))
             if pending is not None:
-                yield jax.tree.map(np.asarray, pending)  # fetch k-1 while k runs
+                yield unpack_detections(np.asarray(pending))  # fetch k-1 while k runs
             pending = out
         if pending is not None:
-            yield jax.tree.map(np.asarray, pending)
+            yield unpack_detections(np.asarray(pending))

@@ -112,8 +112,10 @@ def make_train_step(
         metrics = dict(comps)
         metrics["lr"] = lr_schedule(state.step)
         # optax.apply_if_finite bookkeeping: how many updates were skipped
-        # because of non-finite gradients (0 in healthy training).
+        # because of non-finite gradients (0 in healthy training), and the
+        # current CONSECUTIVE streak (fit() aborts cleanly on a long streak).
         metrics["skipped_nonfinite"] = new_opt.total_notfinite
+        metrics["nonfinite_streak"] = new_opt.notfinite_count
         return new_state, metrics
 
     return train_step
@@ -183,8 +185,13 @@ class Trainer:
                             eps=1e-8)]
         if tr.grad_clip_norm and tr.grad_clip_norm > 0:
             inner.insert(0, optax.clip_by_global_norm(tr.grad_clip_norm))
+        # max_consecutive_errors is effectively infinite: apply_if_finite
+        # "gives up and ACCEPTS" the non-finite update once the budget is
+        # exceeded, which destroys the params (observed in round 2).  Params
+        # are therefore never poisoned; a persistent streak instead aborts
+        # cleanly in fit() via the nonfinite_streak metric.
         self.tx = optax.apply_if_finite(
-            optax.chain(*inner), max_consecutive_errors=10
+            optax.chain(*inner), max_consecutive_errors=2**30
         )
 
         replicated = _replicate(mesh)
@@ -254,6 +261,15 @@ class Trainer:
                 step_count += 1
                 if step_count % log_every == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}
+                    streak = int(metrics.get("nonfinite_streak", 0))
+                    if tr.abort_nonfinite_streak and streak >= tr.abort_nonfinite_streak:
+                        msg = (
+                            "aborting: %d consecutive steps with non-finite "
+                            "gradients (params untouched since the streak "
+                            "began; check data/loss/lr)" % streak
+                        )
+                        log(msg)
+                        raise RuntimeError(msg)
                     duration = time.time() - t0
                     eps = imgs.shape[0] / duration
                     remain = (total_steps - step_count) * duration
