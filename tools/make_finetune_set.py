@@ -30,17 +30,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--copies", type=int, default=16)
+    ap.add_argument("--res", default="256x320", choices=["256x320", "512x640"])
     args = ap.parse_args()
 
     from yolofastest_tpu.data import write_voc_xml
 
-    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    fx = np.load(os.path.join(FIXTURES, f"golden_{args.res}.npz"))
     names = [str(n) for n in fx["image_names"]]
-    boxes = fx["boxes"]  # [img_idx, x1, y1, x2, y2, conf, cls_score, cls] @256x320
+    boxes = fx["boxes"]  # [img_idx, x1, y1, x2, y2, conf, cls_score, cls] @net-input
     class_names = ("carrier", "defender", "destroyer")
 
-    # golden boxes are in net-input (256x320) coords; originals are 512x640
-    sh, sw = 2.0, 2.0
+    # golden boxes are in net-input coords; originals are 512x640
+    net_h = int(args.res.split("x")[0])
+    sh = sw = 512 / net_h
 
     for split, copies in (("train", args.copies), ("val", 1)):
         img_dir = os.path.join(args.out, split, "img")
