@@ -71,3 +71,44 @@ def test_cli_detect_native(tmp_path):
     results = [f for f in os.listdir(out) if f.startswith("result_")]
     assert len(results) == 2
     assert os.path.exists(out / "detect_info.log")
+
+
+@pytest.mark.slow
+def test_cli_export_writes_all_artifacts(tmp_path, monkeypatch):
+    """`export` emits every interchange artifact: native .yfb (fp32 + int8),
+    StableHLO (forward + detect pipeline), and the TorchScript .pt —
+    the reference's converter-zoo capability behind one command."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_train import tiny_config
+    from yolofastest_tpu import configs
+    from yolofastest_tpu.models import YoloFastest, save_variables
+
+    cfg = tiny_config()
+    monkeypatch.setattr(configs, "get_config", lambda name="256x320", **kw: cfg)
+
+    model = YoloFastest(num_cls=cfg.io.num_cls, num_anchors=cfg.io.num_anchors)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *cfg.io.input_hw, 1), jnp.float32),
+                           train=False)
+    wpath = str(tmp_path / "w.npz")
+    save_variables(jax.device_get(variables), wpath)
+
+    out = tmp_path / "export"
+    rc = main(["export", "--config", "256x320", "--weights", wpath,
+               "--out", str(out), "--batch", "2"])
+    assert rc == 0
+    for artifact in ("model.yfb", "model_int8.yfb", "model.pt",
+                     "forward.stablehlo", "detect.stablehlo"):
+        assert os.path.exists(out / artifact), artifact
+
+    torch = pytest.importorskip("torch")
+    m = torch.jit.load(str(out / "model.pt"))
+    with torch.no_grad():
+        large, small = m(torch.zeros((2, 1, *cfg.io.input_hw)))
+    h, w = cfg.io.input_hw
+    assert tuple(large.shape) == (2, cfg.io.num_out, h // 16, w // 16)
+    assert tuple(small.shape) == (2, cfg.io.num_out, h // 32, w // 32)

@@ -226,6 +226,15 @@ def cmd_export(args) -> int:
     save_native_weights(quantize_weights(folded), os.path.join(args.out, "model_int8.yfb"))
     print("wrote", os.path.join(args.out, "model_int8.yfb"))
 
+    try:
+        from yolofastest_tpu.export import export_torchscript
+
+        export_torchscript(folded, cfg.io.input_hw,
+                           os.path.join(args.out, "model.pt"), batch=args.batch)
+        print("wrote", os.path.join(args.out, "model.pt"))
+    except ImportError:
+        print("torch not available; skipping model.pt")
+
     exp = export_folded_forward(folded, cfg, batch=args.batch)
     save_exported(exp, os.path.join(args.out, "forward.stablehlo"))
     print("wrote", os.path.join(args.out, "forward.stablehlo"))

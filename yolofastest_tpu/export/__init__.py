@@ -6,8 +6,11 @@ from yolofastest_tpu.export.stablehlo import (
     save_exported,
 )
 from yolofastest_tpu.export.native import load_native_weights, save_native_weights
+from yolofastest_tpu.export.torchscript import build_torch_module, export_torchscript
 
 __all__ = [
+    "build_torch_module",
+    "export_torchscript",
     "export_detect_pipeline",
     "export_folded_forward",
     "export_int8_forward",
