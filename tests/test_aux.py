@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 
 def test_section_timer_reports():
@@ -77,15 +78,17 @@ def test_trainer_skips_nonfinite_gradients():
     assert np.isfinite(float(m["total"]))
 
 
-def test_fit_aborts_on_persistent_nonfinite_streak(tmp_path):
+@pytest.mark.parametrize("log_every", [1, 1000])
+def test_fit_aborts_on_persistent_nonfinite_streak(tmp_path, log_every):
     """Failure detection: a PERSISTENT non-finite streak aborts fit() with a
     clean RuntimeError and params untouched — instead of apply_if_finite
     silently 'giving up and accepting' the NaN update (optax behaviour that
-    destroyed a fine-tune before the guard)."""
+    destroyed a fine-tune before the guard).  log_every=1000 (more steps than
+    the run) locks that the abort check is independent of the logging cadence
+    — a fully-poisoned run must never 'succeed' quietly."""
     import dataclasses
 
     import jax
-    import pytest
 
     from tests.test_train import tiny_config
     from yolofastest_tpu.train import Trainer
@@ -93,7 +96,7 @@ def test_fit_aborts_on_persistent_nonfinite_streak(tmp_path):
     cfg = tiny_config()
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, abort_nonfinite_streak=3,
-                                       log_every=1)
+                                       log_every=log_every)
     )
     trainer = Trainer(cfg, batch_per_epoch=4, seed=0)
     params_before = jax.device_get(trainer.state.params)
@@ -106,7 +109,7 @@ def test_fit_aborts_on_persistent_nonfinite_streak(tmp_path):
 
     loader = [(bad, tgts)] * 8
     with pytest.raises(RuntimeError, match="consecutive steps with non-finite"):
-        trainer.fit(loader, total_epochs=1, log_every=1)
+        trainer.fit(loader, total_epochs=1, log_every=log_every)
 
     params_after = jax.device_get(trainer.state.params)
     for a, b in zip(jax.tree.leaves(params_before),

@@ -167,3 +167,31 @@ def test_stablehlo_int8_forward(tmp_path, setup):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_small), np.asarray(ref_small),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_stablehlo_lite_forward_roundtrip(tmp_path):
+    """Single-head lite graph exports and round-trips (the CLI's
+    --arch lite path)."""
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.models import YoloFastestLite, folded_apply_lite
+
+    import dataclasses
+
+    cfg = get_config("lite-256x320")
+    io_small = dataclasses.replace(cfg.io, input_shape=(64, 96, 1))
+    cfg = dataclasses.replace(cfg, io=io_small)
+
+    model = YoloFastestLite(num_cls=cfg.io.num_cls, num_anchors=cfg.io.num_anchors)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 96, 1), jnp.float32), train=False)
+    folded = fold_batchnorm(jax.device_get(variables))
+
+    exp = export_folded_forward(folded, cfg, batch=2, arch="lite")
+    p = str(tmp_path / "lite.stablehlo")
+    save_exported(exp, p)
+    loaded = load_exported(p)
+
+    x = np.random.default_rng(0).standard_normal((2, 64, 96, 1)).astype(np.float32) * 0.1
+    (got,) = loaded.call(jnp.asarray(x))
+    ref = folded_apply_lite(jax.tree.map(jnp.asarray, folded), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)

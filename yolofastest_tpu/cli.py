@@ -38,6 +38,10 @@ def cmd_detect(args) -> int:
     os.makedirs(args.out, exist_ok=True)
 
     if args.backend == "native":
+        if args.arch != "fastest":
+            print("--backend native drives the two-head C++ engine; "
+                  "use --backend jax for --arch lite")
+            return 2
         import time
 
         import cv2
@@ -94,8 +98,12 @@ def cmd_detect(args) -> int:
             os.path.splitext(args.weights)[0] + ".calib.json"
         )
         if not os.path.exists(cache):
+            # same extension set batch_detect accepts
             names = sorted(f for f in os.listdir(args.data)
-                           if f.lower().endswith(".jpg"))[:8]
+                           if f.lower().endswith((".jpg", ".png", ".bmp")))[:8]
+            if not names:
+                print(f"no calibration images (.jpg/.png/.bmp) in {args.data}")
+                return 2
             calibration = np.concatenate(
                 [load_net_input(os.path.join(args.data, n), cfg.io)[0]
                  for n in names]
@@ -217,32 +225,43 @@ def cmd_export(args) -> int:
     from yolofastest_tpu.quant import quantize_weights
 
     cfg = get_config(args.config)
+    arch = getattr(args, "arch", "fastest")
     variables = _load_weights(args.weights)
     folded = fold_batchnorm(variables)
     os.makedirs(args.out, exist_ok=True)
 
-    save_native_weights(folded, os.path.join(args.out, "model.yfb"))
-    print("wrote", os.path.join(args.out, "model.yfb"))
-    save_native_weights(quantize_weights(folded), os.path.join(args.out, "model_int8.yfb"))
-    print("wrote", os.path.join(args.out, "model_int8.yfb"))
+    if arch == "fastest":
+        save_native_weights(folded, os.path.join(args.out, "model.yfb"))
+        print("wrote", os.path.join(args.out, "model.yfb"))
+        save_native_weights(quantize_weights(folded),
+                            os.path.join(args.out, "model_int8.yfb"))
+        print("wrote", os.path.join(args.out, "model_int8.yfb"))
+    else:
+        print("native .yfb engine drives the two-head topology only; "
+              "skipping model.yfb for --arch lite")
 
     try:
         from yolofastest_tpu.export import export_torchscript
 
+        ts_arch = "yolofastest" if arch == "fastest" else "yolofastest-lite"
         export_torchscript(folded, cfg.io.input_hw,
-                           os.path.join(args.out, "model.pt"), batch=args.batch)
+                           os.path.join(args.out, "model.pt"), batch=args.batch,
+                           arch=ts_arch)
         print("wrote", os.path.join(args.out, "model.pt"))
     except ImportError:
         print("torch not available; skipping model.pt")
 
-    exp = export_folded_forward(folded, cfg, batch=args.batch)
+    exp = export_folded_forward(folded, cfg, batch=args.batch, arch=arch)
     save_exported(exp, os.path.join(args.out, "forward.stablehlo"))
     print("wrote", os.path.join(args.out, "forward.stablehlo"))
-    exp = export_detect_pipeline(variables, cfg, batch=args.batch)
+    exp = export_detect_pipeline(variables, cfg, batch=args.batch, arch=arch)
     save_exported(exp, os.path.join(args.out, "detect.stablehlo"))
     print("wrote", os.path.join(args.out, "detect.stablehlo"))
 
-    if args.calib_data:
+    if args.calib_data and arch != "fastest":
+        print("int8 executors drive the two-head topology only; "
+              "skipping forward_int8.stablehlo for --arch lite")
+    elif args.calib_data:
         import numpy as np
 
         from yolofastest_tpu.inference.detector import load_net_input
@@ -332,6 +351,9 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--weights", required=True)
     x.add_argument("--out", required=True)
     x.add_argument("--batch", type=int, default=1)
+    x.add_argument("--arch", default="fastest", choices=["fastest", "lite"],
+                   help="lite exports model.pt + StableHLO only (the native "
+                        ".yfb engine and int8 executors are two-head)")
     x.add_argument("--calib-data", default=None,
                    help="directory of calibration .jpg images; when given, "
                         "also exports the int8 graph (forward_int8.stablehlo)")

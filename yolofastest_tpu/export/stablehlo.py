@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 from yolofastest_tpu.configs import Config
-from yolofastest_tpu.models import YoloFastest
-from yolofastest_tpu.models.graph import folded_apply
+from yolofastest_tpu.models import YoloFastest, YoloFastestLite
+from yolofastest_tpu.models.graph import folded_apply, folded_apply_lite
 from yolofastest_tpu.ops import batched_nms, decode_heads, normalize
 
 
@@ -38,32 +38,39 @@ def _export_fn(fn: Callable, example_args) -> jexport.Exported:
 
 
 def export_folded_forward(
-    folded: Dict[str, Any], config: Config, batch: int = 1, compute_dtype=jnp.float32
+    folded: Dict[str, Any], config: Config, batch: int = 1,
+    compute_dtype=jnp.float32, arch: str = "fastest",
 ) -> jexport.Exported:
-    """Folded graph, weights baked in: (B,H,W,1) float -> (large, small)."""
+    """Folded graph, weights baked in: (B,H,W,1) float -> head tuple
+    ((large, small) for the two-head arch; (small,) for lite)."""
     io = config.io
     folded = jax.tree.map(jnp.asarray, folded)
+    apply_folded = folded_apply if arch == "fastest" else folded_apply_lite
 
     def fn(x):
-        large, small = folded_apply(folded, x, compute_dtype)
-        return large.astype(jnp.float32), small.astype(jnp.float32)
+        heads = apply_folded(folded, x, compute_dtype)
+        heads = heads if isinstance(heads, (tuple, list)) else (heads,)
+        return tuple(h.astype(jnp.float32) for h in heads)
 
     x = jnp.zeros((batch, *io.input_hw, io.input_channels), jnp.float32)
     return _export_fn(fn, (x,))
 
 
 def export_detect_pipeline(
-    variables: Dict[str, Any], config: Config, batch: int = 1, compute_dtype=jnp.float32
+    variables: Dict[str, Any], config: Config, batch: int = 1,
+    compute_dtype=jnp.float32, arch: str = "fastest",
 ) -> jexport.Exported:
     """Full pipeline, weights baked in: (B,H,W) uint8 gray -> detection dict."""
     io = config.io
-    model = YoloFastest(num_cls=io.num_cls, num_anchors=io.num_anchors,
-                        compute_dtype=compute_dtype)
+    model_cls = YoloFastest if arch == "fastest" else YoloFastestLite
+    model = model_cls(num_cls=io.num_cls, num_anchors=io.num_anchors,
+                      compute_dtype=compute_dtype)
     variables = jax.tree.map(jnp.asarray, variables)
 
     def fn(frames):
         imgs = normalize(frames, compute_dtype)[..., None]
         heads = model.apply(variables, imgs, train=False)
+        heads = heads if isinstance(heads, (tuple, list)) else (heads,)
         boxes, conf, cls_score, cls_idx, valid = decode_heads(
             heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
         )

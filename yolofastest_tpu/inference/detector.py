@@ -242,10 +242,12 @@ class Detector:
         log = self.logger.info if self.logger else print
         self.warmup(batch_size)
 
-        pre = [self.preprocess_host(os.path.join(data_path, f)) for f in names]
-
         for c0 in range(0, len(names), batch_size):
-            chunk = pre[c0 : c0 + batch_size]
+            # decode/preprocess per chunk (constant host memory on large
+            # directories); like the reference logs, the timed region is
+            # inference + postprocess only
+            chunk = [self.preprocess_host(os.path.join(data_path, f))
+                     for f in names[c0 : c0 + batch_size]]
             n_valid = len(chunk)
             net_in = np.concatenate([p[0] for p in chunk])
             if n_valid < batch_size:  # pad tail to the compiled shape

@@ -36,17 +36,25 @@ def init_distributed(
 ) -> None:
     """Join the distributed runtime.
 
-    On Cloud TPU pods all three arguments auto-detect (pass nothing); for
-    manual clusters (or the CPU dry run) pass ``host:port``, world size and
-    rank.  Must be called before any other jax API touches the backend.
+    With no arguments, ``jax.distributed.initialize()`` runs its cluster
+    auto-detection (Cloud TPU pods, Slurm, OpenMPI, k8s, ...); if no cluster
+    environment is detected this degrades to a single-process no-op — so the
+    call is safe in every deployment.  For manual clusters (or the CPU dry
+    run) pass ``host:port``, world size and rank explicitly.  Must be called
+    before any other jax API touches the backend.
     """
-    if num_processes in (None, 1) and coordinator_address is None:
-        return  # single process: nothing to join
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    if num_processes == 1 and coordinator_address is None:
+        return  # explicitly single process: nothing to join
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        if coordinator_address is not None or num_processes is not None:
+            raise  # explicit cluster parameters that fail must surface
+        # bare call outside any cluster environment: single-process run
 
 
 def host_to_global(sharding, arr) -> jax.Array:

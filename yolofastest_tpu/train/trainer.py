@@ -259,10 +259,16 @@ class Trainer:
                 t0 = time.time()
                 metrics = self.step(imgs, targets)
                 step_count += 1
-                if step_count % log_every == 0:
-                    metrics = {k: float(v) for k, v in metrics.items()}
+                # The abort check must not depend on the logging cadence: a
+                # log_every larger than the run would otherwise let a fully
+                # poisoned run "succeed".  Checking costs one device sync, so
+                # bound it to the streak length (detection within 2x streak).
+                abort_n = tr.abort_nonfinite_streak
+                last_of_epoch = batch_id + 1 == bpe
+                if abort_n and (step_count % min(log_every, abort_n) == 0
+                                or last_of_epoch):
                     streak = int(metrics.get("nonfinite_streak", 0))
-                    if tr.abort_nonfinite_streak and streak >= tr.abort_nonfinite_streak:
+                    if streak >= abort_n:
                         msg = (
                             "aborting: %d consecutive steps with non-finite "
                             "gradients (params untouched since the streak "
@@ -270,6 +276,8 @@ class Trainer:
                         )
                         log(msg)
                         raise RuntimeError(msg)
+                if step_count % log_every == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
                     duration = time.time() - t0
                     eps = imgs.shape[0] / duration
                     remain = (total_steps - step_count) * duration
