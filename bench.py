@@ -174,6 +174,31 @@ def main():
     print(f"host-inclusive batch {best_batch}: {dt_e2e*1e3:.2f} ms/iter -> "
           f"{best_batch/dt_e2e:,.0f} img/s", file=sys.stderr)
 
+    # ------------------- overlapped streaming (put k+1 | compute k | fetch k-1)
+    # StreamingDetector keeps one batch in flight, so compute and the packed
+    # D2H hide behind the next batch's H2D — the serving-shaped number.
+    # NB: through the axon tunnel this matches the sequential number (the
+    # stdio relay serialises H2D and D2H); on a host-attached chip the
+    # overlap is real.
+    try:
+        from yolofastest_tpu.inference import StreamingDetector
+
+        sd = StreamingDetector(cfg, variables)
+        for _ in sd([frames_host]):  # compile + warmup
+            pass
+        reps = 10
+        t0 = time.perf_counter()
+        n = 0
+        for det in sd([frames_host] * reps):
+            n += det["count"].shape[0]
+        dt_ov = time.perf_counter() - t0
+        extras["e2e_stream_overlapped_img_s"] = round(n / dt_ov, 1)
+        print(f"overlapped streaming batch {best_batch}: "
+              f"{dt_ov/reps*1e3:.2f} ms/batch -> {n/dt_ov:,.0f} img/s",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"overlapped streaming bench failed: {e}", file=sys.stderr)
+
     # ------------------------------------------- end-to-end latency (batch 1, 8)
     # Packed output: the whole detection set is ONE (B, max_det, 8) array, so
     # the end-to-end path is exactly one H2D and one D2H transfer.
