@@ -3,6 +3,10 @@
 // Any change to the Python topology must be mirrored here; the parity test
 // (tests/test_native.py) locks the two together at logit level.
 
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+#include <map>
 #include <stdexcept>
 
 #include "yf/model.h"
@@ -15,6 +19,40 @@ const NamedTensor& get(const Weights& w, const std::string& key) {
   if (it == w.end()) throw std::runtime_error("missing weight: " + key);
   return it->second;
 }
+
+// Opt-in per-layer profiler (YF_PROFILE=1): cumulative ms per layer, dumped
+// at process exit sorted by cost.  The reference only ever timed whole
+// infer/postprocess phases (YOLO_ncnn.cpp:51-80).
+struct LayerProfile {
+  std::map<std::string, double> ms;
+  bool enabled = std::getenv("YF_PROFILE") != nullptr;
+  ~LayerProfile() {
+    if (!enabled || ms.empty()) return;
+    std::multimap<double, std::string> by_cost;
+    double total = 0;
+    for (const auto& [k, v] : ms) { by_cost.emplace(v, k); total += v; }
+    std::fprintf(stderr, "[yf profile] cumulative per-layer ms:\n");
+    for (auto it = by_cost.rbegin(); it != by_cost.rend(); ++it)
+      std::fprintf(stderr, "  %8.2f ms  %4.1f%%  %s\n", it->first,
+                   100.0 * it->first / total, it->second.c_str());
+    std::fprintf(stderr, "  %8.2f ms  total\n", total);
+  }
+} g_profile;
+
+struct ScopedTimer {
+  const std::string* name;
+  std::chrono::steady_clock::time_point t0;
+  explicit ScopedTimer(const std::string& n)
+      : name(g_profile.enabled ? &n : nullptr) {
+    if (name) t0 = std::chrono::steady_clock::now();
+  }
+  ~ScopedTimer() {
+    if (name)
+      g_profile.ms[*name] +=
+          std::chrono::duration<double, std::milli>(
+              std::chrono::steady_clock::now() - t0).count();
+  }
+};
 }  // namespace
 
 void YoloFastestNet::dequantize_int8_weights() {
@@ -39,6 +77,7 @@ void YoloFastestNet::dequantize_int8_weights() {
 
 Tensor YoloFastestNet::conv(const Tensor& x, const std::string& name, int stride,
                             bool depthwise, bool relu) const {
+  ScopedTimer t(name);
   return conv2d(x, get(w_, name + "/kernel"), get(w_, name + "/bias"),
                 stride, depthwise, relu);
 }
