@@ -252,11 +252,12 @@ class Trainer:
         bpe = len(loader)
         total_steps = (total_epochs - start_epoch) * bpe
         step_count = 0
+        steps_at_mark = 0
+        t_mark = time.time()  # steady-state throughput: time between log syncs
         history = []
 
         for epoch in range(start_epoch, total_epochs):
             for batch_id, (imgs, targets) in enumerate(loader):
-                t0 = time.time()
                 metrics = self.step(imgs, targets)
                 step_count += 1
                 # The abort check must not depend on the logging cadence: a
@@ -277,8 +278,14 @@ class Trainer:
                         log(msg)
                         raise RuntimeError(msg)
                 if step_count % log_every == 0:
+                    # float() drains the async dispatch queue, so the elapsed
+                    # time since the previous log sync covers whole steps —
+                    # true steady-state examples/sec, not the dispatch time
+                    # of one async step.
                     metrics = {k: float(v) for k, v in metrics.items()}
-                    duration = time.time() - t0
+                    now = time.time()
+                    duration = (now - t_mark) / max(step_count - steps_at_mark, 1)
+                    t_mark, steps_at_mark = now, step_count
                     eps = imgs.shape[0] / duration
                     remain = (total_steps - step_count) * duration
                     m, s = divmod(remain, 60)
