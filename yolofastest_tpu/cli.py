@@ -134,6 +134,10 @@ def cmd_train(args) -> int:
         batch_size=args.batch_size or cfg.train.batch_size,
         max_to_keep=(cfg.train.max_to_keep if args.max_to_keep is None
                      else args.max_to_keep),
+        lr0=args.lr or cfg.train.lr0,
+        warmup_min_iters=(cfg.train.warmup_min_iters
+                          if args.warmup_min_iters is None
+                          else args.warmup_min_iters),
     )
     cfg = dataclasses.replace(cfg, train=tr)
 
@@ -335,6 +339,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--max-to-keep", type=int, default=None,
                    help="rotate old epoch checkpoints, keeping the newest N "
                         "(0 keeps all; default from config)")
+    t.add_argument("--lr", type=float, default=None,
+                   help="initial learning rate (default from config)")
+    t.add_argument("--warmup-min-iters", type=int, default=None,
+                   help="linear LR warmup lower bound in iterations; the "
+                        "reference hard-codes max(3*steps_per_epoch, 1000) "
+                        "(train.py:81) which never completes on small "
+                        "datasets — lower it for short runs")
     t.add_argument("--log-dir", default="logs")
     t.set_defaults(fn=cmd_train)
 
