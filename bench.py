@@ -183,7 +183,8 @@ def main():
     try:
         from yolofastest_tpu.inference import StreamingDetector
 
-        sd = StreamingDetector(cfg, variables)
+        sd = StreamingDetector(cfg, variables, fold_bn=True)  # same graph as
+        # the sequential host-inclusive number above — apples to apples
         for _ in sd([frames_host]):  # compile + warmup
             pass
         reps = 10

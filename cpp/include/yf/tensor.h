@@ -6,39 +6,17 @@
 
 #include <cstdint>
 #include <cstring>
-#include <memory>
 #include <string>
 #include <vector>
 
 namespace yf {
 
-// Allocator that default-initializes (i.e. leaves floats uninitialized) on
-// resize: activation buffers are fully overwritten by the producing op, and
-// the implicit zero-fill of std::vector was a measurable extra write pass
-// over every layer output on a bandwidth-limited core.
-template <typename T, typename A = std::allocator<T>>
-struct default_init_allocator : public A {
-  template <typename U>
-  struct rebind {
-    using other = default_init_allocator<U, typename std::allocator_traits<
-                                                A>::template rebind_alloc<U>>;
-  };
-  using A::A;
-  template <typename U>
-  void construct(U* ptr) noexcept(
-      std::is_nothrow_default_constructible<U>::value) {
-    ::new (static_cast<void*>(ptr)) U;
-  }
-  template <typename U, typename... Args>
-  void construct(U* ptr, Args&&... args) {
-    std::allocator_traits<A>::construct(static_cast<A&>(*this), ptr,
-                                        std::forward<Args>(args)...);
-  }
-};
-
 struct Tensor {
   int h = 0, w = 0, c = 0;  // single-image NHWC (n == 1)
-  std::vector<float, default_init_allocator<float>> data;
+  // NB: plain std::vector, i.e. zero-initialized buffers.  An
+  // uninitialized-storage allocator was measured at no speedup
+  // (docs/DESIGN.md "measured dead ends"), so the zero guarantee stays.
+  std::vector<float> data;
 
   Tensor() = default;
   Tensor(int h_, int w_, int c_) : h(h_), w(w_), c(c_), data((size_t)h_ * w_ * c_) {}

@@ -7,6 +7,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <map>
+#include <mutex>
 #include <stdexcept>
 
 #include "yf/model.h"
@@ -25,7 +26,12 @@ const NamedTensor& get(const Weights& w, const std::string& key) {
 // infer/postprocess phases (YOLO_ncnn.cpp:51-80).
 struct LayerProfile {
   std::map<std::string, double> ms;
+  std::mutex mu;  // conv() may run concurrently on a shared net instance
   bool enabled = std::getenv("YF_PROFILE") != nullptr;
+  void add(const std::string& name, double dt) {
+    std::lock_guard<std::mutex> lock(mu);
+    ms[name] += dt;
+  }
   ~LayerProfile() {
     if (!enabled || ms.empty()) return;
     std::multimap<double, std::string> by_cost;
@@ -48,9 +54,9 @@ struct ScopedTimer {
   }
   ~ScopedTimer() {
     if (name)
-      g_profile.ms[*name] +=
-          std::chrono::duration<double, std::milli>(
-              std::chrono::steady_clock::now() - t0).count();
+      g_profile.add(*name,
+                    std::chrono::duration<double, std::milli>(
+                        std::chrono::steady_clock::now() - t0).count());
   }
 };
 }  // namespace

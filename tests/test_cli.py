@@ -112,3 +112,15 @@ def test_cli_export_writes_all_artifacts(tmp_path, monkeypatch):
     h, w = cfg.io.input_hw
     assert tuple(large.shape) == (2, cfg.io.num_out, h // 16, w // 16)
     assert tuple(small.shape) == (2, cfg.io.num_out, h // 32, w // 32)
+
+
+def test_cli_rejects_arch_config_mismatch(tmp_path):
+    """--arch lite with a two-head preset must fail fast (decode would
+    otherwise silently pair the single head with the wrong anchor group)."""
+    with pytest.raises(SystemExit, match="anchor group"):
+        main(["export", "--config", "256x320", "--arch", "lite",
+              "--weights", "nonexistent.npz", "--out", str(tmp_path)])
+    with pytest.raises(SystemExit, match="anchor group"):
+        main(["detect", "--config", "lite-256x320",
+              "--weights", "nonexistent.npz",
+              "--data", str(tmp_path), "--out", str(tmp_path)])

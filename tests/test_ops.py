@@ -180,3 +180,12 @@ def test_resize_bilinear_batched_axes():
     assert out.shape == (3, 64, 80)
     one = np.asarray(resize_bilinear(jnp.asarray(imgs[1]), (64, 80)))
     np.testing.assert_array_equal(out[1], one)
+
+
+def test_decode_heads_rejects_mismatched_anchor_groups():
+    from yolofastest_tpu.ops import decode_heads
+
+    head = jnp.zeros((1, 4, 4, 24))
+    anchors = (((10.0, 13.0), (16.0, 30.0), (33.0, 23.0)),) * 2
+    with pytest.raises(ValueError, match="anchor group"):
+        decode_heads((head,), anchors, (64, 64), 0.5, 16)

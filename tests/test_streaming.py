@@ -2,6 +2,8 @@
 
 import os
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -38,3 +40,19 @@ def test_streaming_matches_oneshot():
     for b in range(20):
         n = int(ref["count"][b])
         np.testing.assert_allclose(got_boxes[b, :n], ref["boxes"][b, :n], atol=1.0)
+
+
+def test_streaming_fold_bn_matches_flax_graph():
+    """fold_bn=True (the deployment graph bench uses) must produce the same
+    detections as the flax-apply path."""
+    if not os.path.exists(zoo_path("256x320")):
+        pytest.skip("zoo weights not present")
+    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    cfg = get_config("256x320")
+    v = load_variables(zoo_path("256x320"))
+    frames = [fx["pre_imgs"][:4]]
+    a = list(StreamingDetector(cfg, v, compute_dtype=jnp.float32)(frames))[0]
+    b = list(StreamingDetector(cfg, v, compute_dtype=jnp.float32,
+                               fold_bn=True)(frames))[0]
+    np.testing.assert_array_equal(a["count"], b["count"])
+    np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1.0)

@@ -20,6 +20,20 @@ import os
 import sys
 
 
+def _check_arch_config(cfg, arch: str) -> None:
+    """Fail fast on arch/config mismatch: the lite arch emits ONE head, so
+    it needs a one-anchor-group (lite-*) preset and vice versa — otherwise
+    decode/loss would pair heads with the wrong anchor groups."""
+    n_heads = 1 if arch == "lite" else 2
+    n_groups = len(cfg.io.anchors)
+    if n_heads != n_groups:
+        raise SystemExit(
+            f"--arch {arch} produces {n_heads} head(s) but the config has "
+            f"{n_groups} anchor group(s); use "
+            f"{'a lite-* config preset' if arch == 'lite' else 'a non-lite config preset'}"
+        )
+
+
 def _load_weights(path: str):
     from yolofastest_tpu.models import load_variables
     from yolofastest_tpu.models.torch_io import load_torch_checkpoint
@@ -34,6 +48,7 @@ def cmd_detect(args) -> int:
     from yolofastest_tpu.utils.logging import config_logger
 
     cfg = get_config(args.config)
+    _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     logger = config_logger(args.out, "detect_info.log")
     os.makedirs(args.out, exist_ok=True)
 
@@ -128,13 +143,14 @@ def cmd_train(args) -> int:
     from yolofastest_tpu.utils.metrics import MetricsWriter
 
     cfg = get_config(args.config)
+    _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     tr = dataclasses.replace(
         cfg.train,
         total_epochs=args.epochs or cfg.train.total_epochs,
         batch_size=args.batch_size or cfg.train.batch_size,
         max_to_keep=(cfg.train.max_to_keep if args.max_to_keep is None
                      else args.max_to_keep),
-        lr0=args.lr or cfg.train.lr0,
+        lr0=(cfg.train.lr0 if args.lr is None else args.lr),
         warmup_min_iters=(cfg.train.warmup_min_iters
                           if args.warmup_min_iters is None
                           else args.warmup_min_iters),
@@ -200,6 +216,7 @@ def cmd_eval(args) -> int:
     from yolofastest_tpu.utils.logging import config_logger
 
     cfg = get_config(args.config)
+    _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     logger = config_logger(args.log_dir, "eval_info.log")
     idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
     loader = DetectionLoader(idx, cfg, augment=False, shuffle=False,
@@ -229,6 +246,7 @@ def cmd_export(args) -> int:
     from yolofastest_tpu.quant import quantize_weights
 
     cfg = get_config(args.config)
+    _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     arch = getattr(args, "arch", "fastest")
     variables = _load_weights(args.weights)
     folded = fold_batchnorm(variables)

@@ -32,6 +32,8 @@ class StreamingDetector:
       config: framework config.
       variables: flax variables.
       compute_dtype: jnp.bfloat16 for deployment throughput.
+      fold_bn: fold BatchNorm into the convs (the deployment graph the
+        batched Detector/bench headline also use) instead of flax apply.
 
     ``__call__`` consumes an iterable of uint8 gray frame batches
     ``(B, H, W)`` (fixed B for a single compilation) and yields detection
@@ -39,17 +41,26 @@ class StreamingDetector:
     """
 
     def __init__(self, config: Config, variables: Dict[str, Any],
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, fold_bn: bool = False):
         io = config.io
         self.config = config
-        self.variables = jax.tree.map(jnp.asarray, variables)
-        model = YoloFastest(num_cls=io.num_cls, num_anchors=io.num_anchors,
-                            compute_dtype=compute_dtype)
+        if fold_bn:
+            from yolofastest_tpu.models import fold_batchnorm, folded_apply
+
+            folded = fold_batchnorm(jax.device_get(
+                jax.tree.map(jnp.asarray, variables)))
+            self.variables = jax.tree.map(jnp.asarray, folded)
+            apply_fn = lambda v, imgs: folded_apply(v, imgs, compute_dtype)
+        else:
+            self.variables = jax.tree.map(jnp.asarray, variables)
+            model = YoloFastest(num_cls=io.num_cls, num_anchors=io.num_anchors,
+                                compute_dtype=compute_dtype)
+            apply_fn = lambda v, imgs: model.apply(v, imgs, train=False)
 
         @jax.jit
         def pipeline(variables, frames):
             imgs = normalize(frames, compute_dtype)[..., None]
-            heads = model.apply(variables, imgs, train=False)
+            heads = apply_fn(variables, imgs)
             boxes, conf, cls_score, cls_idx, valid = decode_heads(
                 heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
             )

@@ -93,6 +93,12 @@ def decode_heads(
       conf (B,K), cls_score (B,K), cls_idx (B,K) int32, valid (B,K) bool.
       Sorted by conf descending (lax.top_k order).
     """
+    if len(heads) != len(anchors):
+        raise ValueError(
+            f"{len(heads)} head(s) but {len(anchors)} anchor group(s) — "
+            "arch/config mismatch (a zip would silently pair the wrong "
+            "anchors; e.g. --arch lite needs a lite-* config preset)"
+        )
     parts = [
         _decode_one_scale(h, a, input_hw) for h, a in zip(heads, anchors)
     ]

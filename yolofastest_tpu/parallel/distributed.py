@@ -45,16 +45,23 @@ def init_distributed(
     """
     if num_processes == 1 and coordinator_address is None:
         return  # explicitly single process: nothing to join
+    bare = (coordinator_address is None and num_processes is None
+            and process_id is None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        if coordinator_address is not None or num_processes is not None:
-            raise  # explicit cluster parameters that fail must surface
-        # bare call outside any cluster environment: single-process run
+    except ValueError as e:
+        # A bare call outside any cluster environment fails auto-detection
+        # with exactly this ValueError — that (and only that) degrades to a
+        # single-process no-op.  Any other failure (cluster detected but
+        # coordinator unreachable, explicit parameters wrong, ...) must
+        # surface: swallowing it would silently train divergent per-host
+        # copies.
+        if not (bare and "coordinator_address" in str(e)):
+            raise
 
 
 def host_to_global(sharding, arr) -> jax.Array:

@@ -281,7 +281,9 @@ class Trainer:
                     # float() drains the async dispatch queue, so the elapsed
                     # time since the previous log sync covers whole steps —
                     # true steady-state examples/sec, not the dispatch time
-                    # of one async step.
+                    # of one async step.  (The first window still includes
+                    # the jit compile — same warmup skew as the reference's
+                    # first example/sec line.)
                     metrics = {k: float(v) for k, v in metrics.items()}
                     now = time.time()
                     duration = (now - t_mark) / max(step_count - steps_at_mark, 1)
@@ -306,6 +308,9 @@ class Trainer:
                 self.save_checkpoint(checkpoint_dir, epoch,
                                      max_to_keep=tr.max_to_keep or None)
             history.append(epoch_info)
+            # validation + checkpointing are not training time: reset the
+            # throughput window so the next log doesn't absorb them
+            t_mark, steps_at_mark = time.time(), step_count
         return history
 
     # ----------------------------------------------------------- checkpoints
