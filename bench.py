@@ -177,9 +177,9 @@ def main():
     # ------------------- overlapped streaming (put k+1 | compute k | fetch k-1)
     # StreamingDetector keeps one batch in flight, so compute and the packed
     # D2H hide behind the next batch's H2D — the serving-shaped number.
-    # NB: through the axon tunnel this matches the sequential number (the
-    # stdio relay serialises H2D and D2H); on a host-attached chip the
-    # overlap is real.
+    # Measured 1.6x over the sequential host-inclusive loop even through the
+    # remote tunnel (536 vs 328 img/s, BENCH_r02 era); on a host-attached
+    # chip the transfer term shrinks and the ratio grows.
     try:
         from yolofastest_tpu.inference import StreamingDetector
 
