@@ -20,6 +20,13 @@ Tensor conv2d(const Tensor& in, const NamedTensor& kernel, const NamedTensor& bi
 Tensor deconv2x(const Tensor& in, const NamedTensor& kernel, const NamedTensor& bias);
 Tensor concat_c(const Tensor& a, const Tensor& b);
 void add_inplace(Tensor& x, const Tensor& y);
+// Fused residual block (1x1 relu -> dw3x3 relu -> 1x1) + x, row-ring
+// buffered so intermediates never leave cache; bitwise-equal to the
+// unfused sequence.
+Tensor fused_res_block(const Tensor& x, const NamedTensor& k1,
+                       const NamedTensor& b1, const NamedTensor& k2,
+                       const NamedTensor& b2, const NamedTensor& k3,
+                       const NamedTensor& b3, bool residual = true);
 
 class YoloFastestNet {
  public:
@@ -41,6 +48,8 @@ class YoloFastestNet {
   Tensor conv(const Tensor& x, const std::string& name, int stride = 1,
               bool depthwise = false, bool relu = true) const;
   Tensor res(Tensor x, const std::string& name) const;
+  Tensor chain3(const Tensor& x, const std::string& pw1,
+                const std::string& dw, const std::string& pw2) const;
   void dequantize_int8_weights();
 
   Weights w_;

@@ -89,19 +89,27 @@ Tensor YoloFastestNet::conv(const Tensor& x, const std::string& name, int stride
 }
 
 Tensor YoloFastestNet::res(Tensor x, const std::string& name) const {
-  Tensor y = conv(x, name + "/conv1", 1);
-  y = conv(y, name + "/conv2", 1, /*depthwise=*/true);
-  y = conv(y, name + "/conv3", 1, false, /*relu=*/false);
-  add_inplace(y, x);
-  return y;
+  ScopedTimer t(name);
+  return fused_res_block(
+      x, get(w_, name + "/conv1/kernel"), get(w_, name + "/conv1/bias"),
+      get(w_, name + "/conv2/kernel"), get(w_, name + "/conv2/bias"),
+      get(w_, name + "/conv3/kernel"), get(w_, name + "/conv3/bias"));
+}
+
+Tensor YoloFastestNet::chain3(const Tensor& x, const std::string& pw1,
+                              const std::string& dw, const std::string& pw2) const {
+  // Non-residual 1x1(relu) -> dw3x3(relu) -> 1x1 chain, same fusion as res
+  ScopedTimer t(pw1);
+  return fused_res_block(
+      x, get(w_, pw1 + "/kernel"), get(w_, pw1 + "/bias"),
+      get(w_, dw + "/kernel"), get(w_, dw + "/bias"),
+      get(w_, pw2 + "/kernel"), get(w_, pw2 + "/bias"), /*residual=*/false);
 }
 
 void YoloFastestNet::forward(const Tensor& img, Tensor& head_large,
                              Tensor& head_small) const {
   Tensor x = conv(img, "conv0", 2);
-  x = conv(x, "conv1_2");
-  x = conv(x, "conv1_3", 1, true);
-  x = conv(x, "conv1_4", 1, false, false);
+  x = chain3(x, "conv1_2", "conv1_3", "conv1_4");
   x = res(std::move(x), "res1_1");
   x = conv(x, "conv1_8");
   x = conv(x, "conv1_9", 2);
@@ -113,9 +121,7 @@ void YoloFastestNet::forward(const Tensor& img, Tensor& head_large,
   x = conv(x, "conv3_1", 1, false, false);
   x = res(std::move(x), "res3_1");
   x = res(std::move(x), "res3_2");
-  x = conv(x, "conv3_2");
-  x = conv(x, "conv3_3", 1, true);
-  x = conv(x, "conv3_4", 1, false, false);
+  x = chain3(x, "conv3_2", "conv3_3", "conv3_4");
   x = res(std::move(x), "res3_3");
   x = res(std::move(x), "res3_4");
   x = res(std::move(x), "res3_5");

@@ -10,6 +10,11 @@
 #include <algorithm>
 #include <cstring>
 #include <stdexcept>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 #include "yf/model.h"
 
@@ -94,7 +99,179 @@ void conv1x1(const Tensor& in, const float* W, const float* bias, Tensor& out,
       }
   }
 }
+// ---- row-level kernels for the fused residual block (see fused_res_block)
+
+// 1x1 conv over one row; same per-element order as conv1x1 (bias +
+// ascending c), so fused and unfused paths are bitwise-equal.  CIN_T /
+// COUT_T = 0 fall back to the runtime channel counts; compile-time counts
+// let the whole per-pixel body unroll (the small-channel stages are loop-
+// overhead-bound, not bandwidth-bound).
+template <int CIN_T, int COUT_T>
+inline void pw_row(const float* x, int W, int cin_rt, int cout_rt,
+                   const float* kw, const float* bs, bool relu,
+                   const float* add, float* y) {
+  const int cin = CIN_T ? CIN_T : cin_rt;
+  const int cout = COUT_T ? COUT_T : cout_rt;
+  constexpr int MB = 8;
+  for (int n0 = 0; n0 < W; n0 += MB) {
+    const int mb = std::min(MB, W - n0);
+    const float* Xb = x + (size_t)n0 * cin;
+    float* Yb = y + (size_t)n0 * cout;
+    for (int m = 0; m < mb; ++m) {
+      float* ym = Yb + (size_t)m * cout;
+      for (int o = 0; o < cout; ++o) ym[o] = bs[o];
+    }
+    for (int c = 0; c < cin; ++c) {
+      const float* wrow = kw + (size_t)c * cout;
+      for (int m = 0; m < mb; ++m) {
+        const float xv = Xb[(size_t)m * cin + c];
+        float* ym = Yb + (size_t)m * cout;
+        for (int o = 0; o < cout; ++o) ym[o] += xv * wrow[o];
+      }
+    }
+    if (relu)
+      for (int m = 0; m < mb; ++m) {
+        float* ym = Yb + (size_t)m * cout;
+        for (int o = 0; o < cout; ++o) ym[o] = std::max(ym[o], 0.0f);
+      }
+    else if (add)
+      for (int m = 0; m < mb; ++m) {
+        float* ym = Yb + (size_t)m * cout;
+        const float* am = add + (size_t)(n0 + m) * cout;
+        for (int o = 0; o < cout; ++o) ym[o] += am[o];
+      }
+  }
+}
+
+// Depthwise 3x3 over one row given the three input rows (null at image
+// borders).  Tap order (dy,dx ascending, OOB skipped) matches dw_pixel;
+// each tap is a SEPARATE += so the fp reduction order stays bitwise-equal.
+template <int C_T>
+inline void dw3_row(const float* rows[3], int W, int c_rt, const float* kw,
+                    const float* bs, float* y) {
+  const int C = C_T ? C_T : c_rt;
+  auto edge_pixel = [&](int x) {
+    float* op = y + (size_t)x * C;
+    for (int c = 0; c < C; ++c) op[c] = bs[c];
+    for (int dy = 0; dy < 3; ++dy) {
+      const float* row = rows[dy];
+      if (!row) continue;
+      for (int dx = 0; dx < 3; ++dx) {
+        const int ix = x - 1 + dx;
+        if (ix < 0 || ix >= W) continue;
+        const float* ip = row + (size_t)ix * C;
+        const float* kp = kw + ((size_t)dy * 3 + dx) * C;
+        for (int c = 0; c < C; ++c) op[c] += ip[c] * kp[c];
+      }
+    }
+    for (int c = 0; c < C; ++c) op[c] = std::max(op[c], 0.0f);  // ReLU
+  };
+  edge_pixel(0);
+  if (W > 1) edge_pixel(W - 1);
+  for (int x = 1; x < W - 1; ++x) {  // interior: no bounds checks
+    float* op = y + (size_t)x * C;
+    for (int c = 0; c < C; ++c) op[c] = bs[c];
+    for (int dy = 0; dy < 3; ++dy) {
+      const float* row = rows[dy];
+      if (!row) continue;
+      const float* pm = row + (size_t)(x - 1) * C;
+      const float* kp = kw + (size_t)dy * 3 * C;
+      for (int c = 0; c < C; ++c) op[c] += pm[c] * kp[c];
+      for (int c = 0; c < C; ++c) op[c] += pm[C + c] * kp[C + c];
+      for (int c = 0; c < C; ++c) op[c] += pm[2 * C + c] * kp[2 * C + c];
+    }
+    for (int c = 0; c < C; ++c) op[c] = std::max(op[c], 0.0f);
+  }
+}
 }  // namespace
+
+// Fused residual block: y = x + conv1x1(dw3x3(conv1x1(x, relu), relu)).
+// 59% of the network's runtime was res blocks (memory- and loop-overhead-
+// bound on a single core), so the two intermediates stay in a 3-row ring
+// buffer (L1/L2-resident) instead of round-tripping through RAM, and the
+// known channel triples dispatch to fully-unrolled template instances.
+// Every per-element reduction order matches the unfused ops, so outputs
+// are bitwise-identical (locked by tests/test_native.py + yf_check).
+namespace {
+template <int CIN, int CMID, int COUT>
+void fused_rows(const Tensor& x, Tensor& out, int cin, int cmid, int cout,
+                const float* kw1, const float* bs1, const float* kw2,
+                const float* bs2, const float* kw3, const float* bs3,
+                bool residual) {
+  const int H = x.h, W = x.w;
+  const size_t row_mid = (size_t)W * cmid;
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    const int nt = omp_get_num_threads(), tid = omp_get_thread_num();
+#else
+    const int nt = 1, tid = 0;
+#endif
+    const int chunk = (H + nt - 1) / nt;
+    const int r0 = tid * chunk, r1 = std::min(H, r0 + chunk);
+    if (r0 < r1) {
+      std::vector<float> ring(3 * row_mid), mid(row_mid);
+      auto slot = [&](int r) {
+        return ring.data() + (size_t)(r % 3) * row_mid;
+      };
+      // prime the ring with conv1 rows r0-1 (halo) and r0
+      for (int q = std::max(r0 - 1, 0); q <= r0; ++q)
+        pw_row<CIN, CMID>(x.at(q, 0), W, cin, cmid, kw1, bs1, true, nullptr,
+                          slot(q));
+      for (int r = r0; r < r1; ++r) {
+        if (r + 1 < H)
+          pw_row<CIN, CMID>(x.at(r + 1, 0), W, cin, cmid, kw1, bs1, true,
+                            nullptr, slot(r + 1));
+        const float* rows[3] = {
+            r > 0 ? slot(r - 1) : nullptr,
+            slot(r),
+            r + 1 < H ? slot(r + 1) : nullptr,
+        };
+        dw3_row<CMID>(rows, W, cmid, kw2, bs2, mid.data());
+        pw_row<CMID, COUT>(mid.data(), W, cmid, cout, kw3, bs3, false,
+                           residual ? x.at(r, 0) : nullptr, out.at(r, 0));
+      }
+    }
+  }
+}
+}  // namespace
+
+Tensor fused_res_block(const Tensor& x, const NamedTensor& k1,
+                       const NamedTensor& b1, const NamedTensor& k2,
+                       const NamedTensor& b2, const NamedTensor& k3,
+                       const NamedTensor& b3, bool residual) {
+  const int H = x.h, W = x.w, cin = x.c;
+  const int cmid = (int)k1.shape[3];
+  const int cout = (int)k3.shape[3];
+  (void)H;
+  if ((int)k2.shape[0] != 3 || (int)k2.shape[2] != 1 ||
+      (int)k2.shape[3] != cmid || (residual && cout != cin))
+    throw std::runtime_error("fused_res_block shape mismatch");
+  Tensor out(x.h, W, cout);
+  const float* kw1 = k1.f32.data();
+  const float* kw2 = k2.f32.data();
+  const float* kw3 = k3.f32.data();
+  const float* bs1 = b1.f32.data();
+  const float* bs2 = b2.f32.data();
+  const float* bs3 = b3.f32.data();
+
+  // Known channel triples (YOLO-Fastest stages + the two fused chains)
+  // dispatch to fully-unrolled instances; anything else runs the generic
+  // runtime version.
+  const long key = (long)cin * 1000000 + cmid * 1000 + cout;
+  switch (key) {
+    case   4008004: fused_rows<4, 8, 4>(x, out, cin, cmid, cout, kw1, bs1, kw2, bs2, kw3, bs3, residual); break;
+    case   8008004: fused_rows<8, 8, 4>(x, out, cin, cmid, cout, kw1, bs1, kw2, bs2, kw3, bs3, residual); break;
+    case   8032008: fused_rows<8, 32, 8>(x, out, cin, cmid, cout, kw1, bs1, kw2, bs2, kw3, bs3, residual); break;
+    case   8048008: fused_rows<8, 48, 8>(x, out, cin, cmid, cout, kw1, bs1, kw2, bs2, kw3, bs3, residual); break;
+    case   8048016: fused_rows<8, 48, 16>(x, out, cin, cmid, cout, kw1, bs1, kw2, bs2, kw3, bs3, residual); break;
+    case  16096016: fused_rows<16, 96, 16>(x, out, cin, cmid, cout, kw1, bs1, kw2, bs2, kw3, bs3, residual); break;
+    case  24136024: fused_rows<24, 136, 24>(x, out, cin, cmid, cout, kw1, bs1, kw2, bs2, kw3, bs3, residual); break;
+    case  48224048: fused_rows<48, 224, 48>(x, out, cin, cmid, cout, kw1, bs1, kw2, bs2, kw3, bs3, residual); break;
+    default: fused_rows<0, 0, 0>(x, out, cin, cmid, cout, kw1, bs1, kw2, bs2, kw3, bs3, residual);
+  }
+  return out;
+}
 
 Tensor conv2d(const Tensor& in, const NamedTensor& kernel, const NamedTensor& bias,
               int stride, bool depthwise, bool relu) {
