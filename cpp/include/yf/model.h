@@ -19,7 +19,6 @@ Tensor conv2d(const Tensor& in, const NamedTensor& kernel, const NamedTensor& bi
               int stride, bool depthwise, bool relu);
 Tensor deconv2x(const Tensor& in, const NamedTensor& kernel, const NamedTensor& bias);
 Tensor concat_c(const Tensor& a, const Tensor& b);
-void add_inplace(Tensor& x, const Tensor& y);
 // Fused residual block (1x1 relu -> dw3x3 relu -> 1x1) + x, row-ring
 // buffered so intermediates never leave cache; bitwise-equal to the
 // unfused sequence.

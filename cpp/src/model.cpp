@@ -98,8 +98,11 @@ Tensor YoloFastestNet::res(Tensor x, const std::string& name) const {
 
 Tensor YoloFastestNet::chain3(const Tensor& x, const std::string& pw1,
                               const std::string& dw, const std::string& pw2) const {
-  // Non-residual 1x1(relu) -> dw3x3(relu) -> 1x1 chain, same fusion as res
-  ScopedTimer t(pw1);
+  // Non-residual 1x1(relu) -> dw3x3(relu) -> 1x1 chain, same fusion as res.
+  // Profile label names all three fused layers (YF_PROFILE reports fused
+  // groups, not individual convs, for fused stages).
+  const std::string label = pw1 + "+" + dw + "+" + pw2;
+  ScopedTimer t(label);
   return fused_res_block(
       x, get(w_, pw1 + "/kernel"), get(w_, pw1 + "/bias"),
       get(w_, dw + "/kernel"), get(w_, dw + "/bias"),

@@ -62,44 +62,7 @@ inline void conv3x3_row_block(const float* row0, const float* kw,
   }
 }
 
-// 1x1 stride-1 conv as a pixel-blocked GEMM: out(N, cout) = in(N, cin) @ W.
-// The 1x1 convs carry ~90% of the network's FLOPs.  Blocking MB pixels per
-// pass over W reuses each W row MB times from L1 instead of streaming the
-// whole kernel once per pixel; the saxpy inner loop (unit-stride over cout,
-// broadcast x) and the reduction order (bias + ascending c) are identical
-// to the naive per-pixel loop, so outputs stay bitwise-equal.
-void conv1x1(const Tensor& in, const float* W, const float* bias, Tensor& out,
-             bool relu) {
-  const int cin = in.c, cout = out.c;
-  const int N = in.h * in.w;
-  const float* X = in.data.data();
-  float* Y = out.data.data();
-  constexpr int MB = 8;
-#pragma omp parallel for schedule(static)
-  for (int n0 = 0; n0 < N; n0 += MB) {
-    const int mb = std::min(MB, N - n0);
-    const float* Xb = X + (size_t)n0 * cin;
-    float* Yb = Y + (size_t)n0 * cout;
-    for (int m = 0; m < mb; ++m) {
-      float* ym = Yb + (size_t)m * cout;
-      for (int o = 0; o < cout; ++o) ym[o] = bias[o];
-    }
-    for (int c = 0; c < cin; ++c) {
-      const float* wrow = W + (size_t)c * cout;
-      for (int m = 0; m < mb; ++m) {
-        const float xv = Xb[(size_t)m * cin + c];
-        float* ym = Yb + (size_t)m * cout;
-        for (int o = 0; o < cout; ++o) ym[o] += xv * wrow[o];
-      }
-    }
-    if (relu)
-      for (int m = 0; m < mb; ++m) {
-        float* ym = Yb + (size_t)m * cout;
-        for (int o = 0; o < cout; ++o) ym[o] = std::max(ym[o], 0.0f);
-      }
-  }
-}
-// ---- row-level kernels for the fused residual block (see fused_res_block)
+// ---- row kernels shared by conv1x1 and the fused residual block
 
 // 1x1 conv over one row; same per-element order as conv1x1 (bias +
 // ascending c), so fused and unfused paths are bitwise-equal.  CIN_T /
@@ -183,6 +146,25 @@ inline void dw3_row(const float* rows[3], int W, int c_rt, const float* kw,
     for (int c = 0; c < C; ++c) op[c] = std::max(op[c], 0.0f);
   }
 }
+
+// 1x1 stride-1 conv: pw_row over pixel chunks — ONE kernel body (MB=8
+// pixel blocking, bias + ascending-c saxpy) serves both the standalone and
+// fused paths, keeping their bitwise-parity contract in a single place.
+// The 1x1 convs carry ~90% of the network's FLOPs.
+void conv1x1(const Tensor& in, const float* W, const float* bias, Tensor& out,
+             bool relu) {
+  const int cin = in.c, cout = out.c;
+  const int N = in.h * in.w;
+  const float* X = in.data.data();
+  float* Y = out.data.data();
+  constexpr int CHUNK = 1024;  // pixels per OpenMP task
+#pragma omp parallel for schedule(static)
+  for (int n0 = 0; n0 < N; n0 += CHUNK) {
+    const int nb = std::min(CHUNK, N - n0);
+    pw_row<0, 0>(X + (size_t)n0 * cin, nb, cin, cout, W, bias, relu,
+                 nullptr, Y + (size_t)n0 * cout);
+  }
+}
 }  // namespace
 
 // Fused residual block: y = x + conv1x1(dw3x3(conv1x1(x, relu), relu)).
@@ -244,8 +226,11 @@ Tensor fused_res_block(const Tensor& x, const NamedTensor& k1,
   const int cmid = (int)k1.shape[3];
   const int cout = (int)k3.shape[3];
   (void)H;
-  if ((int)k2.shape[0] != 3 || (int)k2.shape[2] != 1 ||
-      (int)k2.shape[3] != cmid || (residual && cout != cin))
+  if ((int)k1.shape[2] != cin || (int)k2.shape[0] != 3 ||
+      (int)k2.shape[2] != 1 || (int)k2.shape[3] != cmid ||
+      (int)k3.shape[2] != cmid || (residual && cout != cin) ||
+      b1.f32.size() != (size_t)cmid || b2.f32.size() != (size_t)cmid ||
+      b3.f32.size() != (size_t)cout)
     throw std::runtime_error("fused_res_block shape mismatch");
   Tensor out(x.h, W, cout);
   const float* kw1 = k1.f32.data();
@@ -498,15 +483,6 @@ Tensor concat_c(const Tensor& a, const Tensor& b) {
     }
   }
   return out;
-}
-
-void add_inplace(Tensor& x, const Tensor& y) {
-  if (x.size() != y.size()) throw std::runtime_error("add size mismatch");
-  float* xp = x.data.data();
-  const float* yp = y.data.data();
-  const size_t n = x.size();
-#pragma omp parallel for schedule(static)
-  for (long long i = 0; i < (long long)n; ++i) xp[i] += yp[i];
 }
 
 }  // namespace yf
