@@ -3,6 +3,13 @@ from yolofastest_tpu.quant.ptq import (
     calibrate,
     quantize_weights,
     quantized_apply,
+    quantized_apply_fused,
 )
 
-__all__ = ["Int8Executor", "calibrate", "quantize_weights", "quantized_apply"]
+__all__ = [
+    "Int8Executor",
+    "calibrate",
+    "quantize_weights",
+    "quantized_apply",
+    "quantized_apply_fused",
+]
