@@ -283,3 +283,34 @@ def test_data_parallel_sharding_runs():
     m2 = trainer.step(imgs, tgts)
     assert np.isfinite(float(m1["total"])) and np.isfinite(float(m2["total"]))
     assert int(trainer.state.step) == 2
+
+
+def test_loader_cache_identical_and_decodes_once(tmp_path, monkeypatch):
+    """cache=True serves bit-identical batches while decoding each image
+    exactly once across epochs (the host decode otherwise bottlenecks a TPU
+    input pipeline)."""
+    from yolofastest_tpu.data import DetectionLoader, VOCIndex
+    from yolofastest_tpu.data import pipeline as pl
+
+    cfg = tiny_config()
+    make_dataset(str(tmp_path / "voc"), 12, cfg, seed=5)
+    idx = VOCIndex(str(tmp_path / "voc"), cfg.io.class_names)
+
+    calls = {"n": 0}
+    real = pl._imread_gray_resized
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pl, "_imread_gray_resized", counting)
+
+    plain = DetectionLoader(idx, cfg, batch_size=4, seed=7, prefetch=1)
+    cached = DetectionLoader(idx, cfg, batch_size=4, seed=7, prefetch=1,
+                             cache=True)
+    for epoch in range(2):
+        for (pi, pt), (ci, ct) in zip(plain, cached):
+            np.testing.assert_array_equal(pi, ci)
+            np.testing.assert_array_equal(pt, ct)
+    # plain: 12 imgs x 2 epochs x 2 loaders? no - plain decodes 24, cached 12
+    assert calls["n"] == 24 + 12

@@ -161,7 +161,8 @@ def cmd_train(args) -> int:
     logger.info("Start....")
 
     train_idx = VOCIndex(args.train_dir, cfg.io.class_names, logger)
-    loader = DetectionLoader(train_idx, cfg, seed=cfg.train.seed)
+    loader = DetectionLoader(train_idx, cfg, seed=cfg.train.seed,
+                             cache=args.cache_images)
 
     validator = None
     if args.val_dir:
@@ -359,6 +360,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 keeps all; default from config)")
     t.add_argument("--lr", type=float, default=None,
                    help="initial learning rate (default from config)")
+    t.add_argument("--cache-images", action="store_true",
+                   help="keep decoded net-input images in RAM after first "
+                        "use (N*H*W bytes; epochs >= 2 skip jpeg decode — "
+                        "the host input pipeline is the usual TPU training "
+                        "bottleneck)")
     t.add_argument("--warmup-min-iters", type=int, default=None,
                    help="linear LR warmup lower bound in iterations; the "
                         "reference hard-codes max(3*steps_per_epoch, 1000) "

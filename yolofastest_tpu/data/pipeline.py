@@ -49,6 +49,7 @@ def load_example(
     config: Config,
     rng: Optional[np.random.Generator] = None,
     augment: bool = True,
+    gray: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One (image, padded-targets) pair.
 
@@ -56,6 +57,8 @@ def load_example(
       labels: (N, 5) rows ``(cls, x1, y1, x2, y2)`` in original-image pixels.
       rng: numpy Generator; augmentation is skipped when None or
         ``augment=False``.
+      gray: optionally a pre-decoded ``(H, W) uint8`` net-input image (the
+        loader's image cache); skips the jpeg decode + resize.
 
     Returns:
       img: (H, W, 1) float32, ``(x - 128) / 255`` normalised.
@@ -63,7 +66,8 @@ def load_example(
     """
     io = config.io
     h0, w0 = io.origin_img_shape[0], io.origin_img_shape[1]
-    gray = _imread_gray_resized(img_path, io.input_hw, (h0, w0))
+    if gray is None:
+        gray = _imread_gray_resized(img_path, io.input_hw, (h0, w0))
 
     boxes = labels.reshape(-1, 5).astype(np.float32).copy()
     out = np.zeros((config.train.max_boxes, 6), np.float32)
@@ -110,6 +114,7 @@ class DetectionLoader:
         prefetch: int = 4,
         num_workers: int = 0,
         drop_last: bool = True,
+        cache: bool = False,
     ):
         self.index = index
         self.config = config
@@ -125,6 +130,18 @@ class DetectionLoader:
         # validation must use False so no image is silently excluded from mAP
         # (the reference validates every image).
         self.drop_last = drop_last
+        # cache=True keeps every DECODED net-input image (uint8 gray) in
+        # RAM after its first use, so epochs >= 2 skip the jpeg decode +
+        # resize that otherwise bottlenecks a TPU input pipeline
+        # (augmentation and normalisation still run per epoch; batches are
+        # bit-identical to the uncached path).  Memory: N * H * W bytes,
+        # e.g. 8000 images at 256x320 = 655 MB.  Concurrent fills of the
+        # same slot are idempotent (same decoded bytes).
+        self._cache: Optional[np.ndarray] = None
+        self._cache_filled: Optional[np.ndarray] = None
+        if cache:
+            self._cache = np.zeros((len(index), *config.io.input_hw), np.uint8)
+            self._cache_filled = np.zeros(len(index), bool)
 
     def __len__(self) -> int:  # batches per epoch
         n, bs = len(self.index), self.batch_size
@@ -138,8 +155,15 @@ class DetectionLoader:
 
         def load_one(k, i, item_rng):
             path, labels = self.index[i]
+            gray = None
+            if self._cache is not None:
+                if not self._cache_filled[i]:
+                    self._cache[i] = _imread_gray_resized(
+                        path, io.input_hw, self.config.io.origin_img_shape[:2])
+                    self._cache_filled[i] = True
+                gray = self._cache[i]
             imgs[k], tgts[k] = load_example(path, labels, self.config,
-                                            item_rng, self.augment)
+                                            item_rng, self.augment, gray=gray)
 
         if self.num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
