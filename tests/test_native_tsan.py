@@ -51,3 +51,21 @@ def test_native_engine_concurrent_forwards_deterministic(tmp_path):
                        capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "THREAD_CHECK_OK" in r.stdout
+
+
+FUSED_CHECK = os.path.join(REPO, "cpp", "build", "yf_fused_check")
+
+
+@pytest.mark.parametrize("threads", ["1", "3"])
+def test_fused_res_block_bitwise_equals_unfused(threads):
+    """The fused residual/chain path must be bitwise-equal to the composed
+    unfused ops across the network's channel triples, generic shapes and
+    degenerate rows/cols, at any thread count (ring-buffer halo chunking
+    must not change results)."""
+    if not os.path.exists(FUSED_CHECK):
+        pytest.skip("release build not present (cpp/build.sh)")
+    env = dict(os.environ, OMP_NUM_THREADS=threads)
+    r = subprocess.run([FUSED_CHECK], capture_output=True, text=True,
+                       timeout=600, env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "FUSED_CHECK_OK" in r.stdout
