@@ -381,7 +381,7 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--log-dir", default="logs")
     e.set_defaults(fn=cmd_eval)
 
-    x = sub.add_parser("export", help="export StableHLO + native weights")
+    x = sub.add_parser("export", help="export StableHLO + TorchScript + native .yfb")
     x.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
     x.add_argument("--weights", required=True)
     x.add_argument("--out", required=True)
