@@ -76,7 +76,7 @@ def test_cli_detect_native(tmp_path):
 @pytest.mark.slow
 def test_cli_export_writes_all_artifacts(tmp_path, monkeypatch):
     """`export` emits every interchange artifact: native .yfb (fp32 + int8),
-    StableHLO (forward + detect pipeline), and the TorchScript .pt —
+    StableHLO (forward + detect pipeline), ONNX, and the TorchScript .pt —
     the reference's converter-zoo capability behind one command."""
     import dataclasses
 
@@ -101,7 +101,7 @@ def test_cli_export_writes_all_artifacts(tmp_path, monkeypatch):
     rc = main(["export", "--config", "256x320", "--weights", wpath,
                "--out", str(out), "--batch", "2"])
     assert rc == 0
-    for artifact in ("model.yfb", "model_int8.yfb", "model.pt",
+    for artifact in ("model.yfb", "model_int8.yfb", "model.pt", "model.onnx",
                      "forward.stablehlo", "detect.stablehlo"):
         assert os.path.exists(out / artifact), artifact
 

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Independent ONNX consumer: parse + execute a .onnx with numpy only.
+
+This is the consumer side of the ONNX interchange story (the role
+onnxruntime / the ncnn converter plays for the reference's exported ONNX,
+``convert_model/pytorch_to_onnx.py:19-23``).  It shares no code with the
+exporter (``yolofastest_tpu/export/onnx.py``) beyond the public protobuf +
+ONNX specs: a from-scratch wire-format decoder feeding a small numpy
+executor for the standard ops our graphs use (Conv, ConvTranspose, Relu,
+Add, Concat, Identity).
+
+Usage:
+    python tools/onnx_check.py model.onnx imgs.npy out.npz
+        imgs.npy: float32 NCHW input batch
+        out.npz:  one array per graph output, keyed by output name
+    Prints "ONNX_CONSUMED_OK <output names>" on success.
+
+Deliberately imports NOTHING from yolofastest_tpu (it must run in a bare
+numpy-only environment; tests/test_export_onnx.py enforces that in a fresh
+process).
+"""
+
+import struct
+import sys
+
+import numpy as np
+
+
+# ------------------------------------------------------------------ decoder
+def _fields(buf):
+    """Decode one protobuf message into [(field_number, wire_type, value)].
+
+    wire 0 -> int, wire 2 -> bytes; groups/fixed are not used by ONNX here.
+    """
+    out, i, n = [], 0, len(buf)
+    while i < n:
+        key, i = _uvarint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, i = _uvarint(buf, i)
+        elif wire == 2:
+            ln, i = _uvarint(buf, i)
+            v, i = buf[i:i + ln], i + ln
+        elif wire == 5:
+            v, i = struct.unpack_from("<I", buf, i)[0], i + 4
+        elif wire == 1:
+            v, i = struct.unpack_from("<Q", buf, i)[0], i + 8
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        out.append((field, wire, v))
+    return out
+
+
+def _uvarint(buf, i):
+    shift = v = 0
+    while True:
+        b = buf[i]
+        v |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return v, i
+        shift += 7
+
+
+def _ints(wire, v):
+    """A repeated int field arrives packed (wire 2) or one-per-tag (wire 0)."""
+    if wire == 2:
+        out, i = [], 0
+        while i < len(v):
+            x, i = _uvarint(v, i)
+            out.append(x)
+        return out
+    return [v]
+
+
+def _tensor(buf):
+    """TensorProto -> (name, ndarray). Handles raw_data and float_data."""
+    dims, dtype, name, raw, floats = [], 1, "", None, []
+    for f, w, v in _fields(buf):
+        if f == 1:
+            dims += _ints(w, v)
+        elif f == 2:
+            dtype = v
+        elif f == 8:
+            name = v.decode()
+        elif f == 9:
+            raw = v
+        elif f == 4:
+            floats += ([struct.unpack("<f", struct.pack("<I", v))[0]]
+                       if w == 5 else
+                       list(struct.unpack(f"<{len(v) // 4}f", v)))
+    assert dtype == 1, f"only FLOAT initializers supported, got {dtype}"
+    data = (np.frombuffer(raw, "<f4") if raw is not None
+            else np.asarray(floats, np.float32))
+    return name, data.reshape(dims)
+
+
+def _attrs(node_fields):
+    out = {}
+    for f, _, v in node_fields:
+        if f != 5:
+            continue
+        name, ints, i64 = "", [], None
+        for af, aw, av in _fields(v):
+            if af == 1:
+                name = av.decode()
+            elif af == 3:
+                i64 = av
+            elif af == 8:
+                ints += _ints(aw, av)
+        out[name] = ints if ints else i64
+    return out
+
+
+def load_model(path):
+    """-> (nodes, initializers, input_names, output_names). Each node is
+    (op_type, inputs, outputs, attrs)."""
+    with open(path, "rb") as f:
+        model = _fields(f.read())
+    graph = next(v for f_, _, v in model if f_ == 7)
+    nodes, init, g_in, g_out = [], {}, [], []
+    for f, _, v in _fields(graph):
+        if f == 1:  # NodeProto
+            nf = _fields(v)
+            op = next(x.decode() for fn, _, x in nf if fn == 4)
+            ins = [x.decode() for fn, _, x in nf if fn == 1]
+            outs = [x.decode() for fn, _, x in nf if fn == 2]
+            nodes.append((op, ins, outs, _attrs(nf)))
+        elif f == 5:  # initializer
+            name, arr = _tensor(v)
+            init[name] = arr
+        elif f in (11, 12):  # ValueInfoProto: only the name is needed
+            name = next(x.decode() for fn, _, x in _fields(v) if fn == 1)
+            (g_in if f == 11 else g_out).append(name)
+    return nodes, init, g_in, g_out
+
+
+# ----------------------------------------------------------------- executor
+def _conv(x, w, b, strides, pads, group):
+    """Grouped NCHW conv, numpy: accumulate shifted einsums per kernel tap."""
+    n, ci, h, wd = x.shape
+    co, cig, kh, kw = w.shape
+    sh, sw = strides
+    pt, pl, pb, pr = pads[0], pads[1], pads[2], pads[3]
+    xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    oh = (h + pt + pb - kh) // sh + 1
+    ow = (wd + pl + pr - kw) // sw + 1
+    xg = xp.reshape(n, group, ci // group, *xp.shape[2:])
+    wg = w.reshape(group, co // group, cig, kh, kw)
+    y = np.zeros((n, group, co // group, oh, ow), np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            patch = xg[:, :, :, i:i + oh * sh:sh, j:j + ow * sw:sw]
+            y += np.einsum("ngchw,goc->ngohw", patch, wg[:, :, :, i, j])
+    return y.reshape(n, co, oh, ow) + b[None, :, None, None]
+
+
+def _conv_transpose(x, w, b, strides):
+    """NCHW ConvTranspose, pads=0, group=1; w is (Cin, Cout, kh, kw)."""
+    n, ci, h, wd = x.shape
+    _, co, kh, kw = w.shape
+    sh, sw = strides
+    y = np.zeros((n, co, (h - 1) * sh + kh, (wd - 1) * sw + kw), np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            y[:, :, i:i + h * sh:sh, j:j + wd * sw:sw] += np.einsum(
+                "nchw,co->nohw", x, w[:, :, i, j])
+    return y + b[None, :, None, None]
+
+
+def run(nodes, init, feeds):
+    env = dict(init)
+    env.update(feeds)
+    for op, ins, outs, attrs in nodes:
+        a = [env[i] for i in ins]
+        if op == "Conv":
+            y = _conv(a[0], a[1], a[2], attrs["strides"], attrs["pads"],
+                      attrs.get("group", 1) or 1)
+        elif op == "ConvTranspose":
+            y = _conv_transpose(a[0], a[1], a[2], attrs["strides"])
+        elif op == "Relu":
+            y = np.maximum(a[0], 0.0)
+        elif op == "Add":
+            y = a[0] + a[1]
+        elif op == "Concat":
+            y = np.concatenate(a, axis=attrs["axis"])
+        elif op == "Identity":
+            y = a[0]
+        else:
+            raise NotImplementedError(f"op {op}")
+        env[outs[0]] = y
+    return env
+
+
+def main(argv):
+    model_path, imgs_path, out_path = argv[1:4]
+    nodes, init, g_in, g_out = load_model(model_path)
+    imgs = np.load(imgs_path).astype(np.float32)
+    env = run(nodes, init, {g_in[0]: imgs})
+    np.savez(out_path, **{name: env[name] for name in g_out})
+    # NB: this image's site init preloads jax in every python process, so
+    # jax presence proves nothing either way; the meaningful guarantee is
+    # that OUR framework (and flax/torch, which only it would pull in)
+    # never loads — same discipline as tests/test_export_torch.py:86.
+    banned = [m for m in sys.modules
+              if m.split(".")[0] in ("yolofastest_tpu", "torch", "flax")]
+    assert not banned, f"framework modules leaked in: {banned}"
+    print("ONNX_CONSUMED_OK", " ".join(g_out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -8,7 +8,7 @@ Here one typed config (``configs/``) + argparse drive every workflow:
   detect    batch-detect a directory (jax | native-C++ | int8 backend)
   train     full training run with validation + orbax checkpoints
   eval      mAP of a weights file on a VOC dataset
-  export    weights -> StableHLO graphs + native .yfb (+ int8 .yfb)
+  export    weights -> StableHLO + ONNX + TorchScript + native .yfb (+ int8)
   convert   reference .pth -> zoo .npz
   txt2xml   custom txt labels -> VOC XML (reference utils/txt2xml.py)
 """
@@ -240,6 +240,7 @@ def cmd_export(args) -> int:
         export_detect_pipeline,
         export_folded_forward,
         export_int8_forward,
+        export_onnx,
         save_exported,
         save_native_weights,
     )
@@ -263,13 +264,17 @@ def cmd_export(args) -> int:
         print("native .yfb engine drives the two-head topology only; "
               "skipping model.yfb for --arch lite")
 
+    graph_arch = "yolofastest" if arch == "fastest" else "yolofastest-lite"
+    export_onnx(folded, cfg.io.input_hw, os.path.join(args.out, "model.onnx"),
+                arch=graph_arch)
+    print("wrote", os.path.join(args.out, "model.onnx"))
+
     try:
         from yolofastest_tpu.export import export_torchscript
 
-        ts_arch = "yolofastest" if arch == "fastest" else "yolofastest-lite"
         export_torchscript(folded, cfg.io.input_hw,
                            os.path.join(args.out, "model.pt"), batch=args.batch,
-                           arch=ts_arch)
+                           arch=graph_arch)
         print("wrote", os.path.join(args.out, "model.pt"))
     except ImportError:
         print("torch not available; skipping model.pt")
@@ -381,7 +386,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--log-dir", default="logs")
     e.set_defaults(fn=cmd_eval)
 
-    x = sub.add_parser("export", help="export StableHLO + TorchScript + native .yfb")
+    x = sub.add_parser("export",
+                       help="export StableHLO + ONNX + TorchScript + native .yfb")
     x.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
     x.add_argument("--weights", required=True)
     x.add_argument("--out", required=True)
