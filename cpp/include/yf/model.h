@@ -37,11 +37,17 @@ class YoloFastestNet {
   explicit YoloFastestNet(const std::string& weights_path)
       : w_(load_weights(weights_path)) {
     dequantize_int8_weights();
+    // Lite (single-head) .yfb files carry no head_4 branch; the engine
+    // walks the matching topology (models/graph.py walk_topology_lite).
+    is_lite_ = w_.find("head_4/kernel") == w_.end();
   }
 
   // img: (h, w, 1) normalized floats. Outputs raw head logits,
   // head_large at stride 16, head_small at stride 32 (NHWC, A*(5+C) ch).
+  // For lite weights only head_small is produced (head_large is emptied).
   void forward(const Tensor& img, Tensor& head_large, Tensor& head_small) const;
+
+  bool is_lite() const { return is_lite_; }
 
  private:
   Tensor conv(const Tensor& x, const std::string& name, int stride = 1,
@@ -52,6 +58,7 @@ class YoloFastestNet {
   void dequantize_int8_weights();
 
   Weights w_;
+  bool is_lite_ = false;
 };
 
 }  // namespace yf

@@ -19,8 +19,14 @@ void* yf_create(const char* weights_path) {
 
 void yf_destroy(void* h) { delete static_cast<yf::YoloFastestNet*>(h); }
 
+// 1 when the loaded .yfb is the single-head lite topology, else 0.
+int yf_is_lite(void* h) {
+  return static_cast<yf::YoloFastestNet*>(h)->is_lite() ? 1 : 0;
+}
+
 // img: (in_h, in_w) float32 normalized gray.  Writes raw NHWC head logits to
 // caller buffers sized (in_h/16)*(in_w/16)*ch and (in_h/32)*(in_w/32)*ch.
+// For lite weights head_large may be null (nothing is written to it).
 // Returns 0 on success.
 int yf_forward(void* h, const float* img, int in_h, int in_w,
                float* head_large, float* head_small) {
@@ -30,7 +36,8 @@ int yf_forward(void* h, const float* img, int in_h, int in_w,
     std::memcpy(x.data.data(), img, sizeof(float) * (size_t)in_h * in_w);
     yf::Tensor hl, hs;
     net->forward(x, hl, hs);
-    std::memcpy(head_large, hl.data.data(), sizeof(float) * hl.size());
+    if (hl.size() && head_large)
+      std::memcpy(head_large, hl.data.data(), sizeof(float) * hl.size());
     std::memcpy(head_small, hs.data.data(), sizeof(float) * hs.size());
     return 0;
   } catch (...) {
@@ -38,8 +45,10 @@ int yf_forward(void* h, const float* img, int in_h, int in_w,
   }
 }
 
-// Full detect: forward + decode (both heads) + per-class NMS.
-// anchors: num_scales * num_anchors * 2 floats, scale 0 = stride 16 head.
+// Full detect: forward + decode (all heads) + per-class NMS.
+// anchors: num_scales * num_anchors * 2 floats; anchor group 0 pairs with
+// the first emitted head (stride 16 for the two-head net, stride 32 for
+// lite, whose single head IS the stride-32 one).
 // out rows: x1, y1, x2, y2, conf, cls_score, cls.  Returns detection count
 // (<= max_det) or -1 on error.
 int yf_detect(void* h, const float* img, int in_h, int in_w,
@@ -55,10 +64,11 @@ int yf_detect(void* h, const float* img, int in_h, int in_w,
 
     std::vector<yf::BBox> boxes;
     const int strides[2] = {16, 32};
-    for (int s = 0; s < num_scales && s < 2; ++s) {
-      yf::decode_head(heads[s], anchors + s * num_anchors * 2, num_anchors,
-                      num_cls, (float)strides[s], (float)strides[s],
-                      conf_thre, boxes);
+    const int base = net->is_lite() ? 1 : 0;  // lite emits heads[1] only
+    for (int s = 0; s + base < 2 && s < num_scales; ++s) {
+      yf::decode_head(heads[s + base], anchors + s * num_anchors * 2,
+                      num_anchors, num_cls, (float)strides[s + base],
+                      (float)strides[s + base], conf_thre, boxes);
     }
     yf::nms_per_class(boxes, num_cls, nms_thre);
 

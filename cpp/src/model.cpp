@@ -151,6 +151,13 @@ void YoloFastestNet::forward(const Tensor& img, Tensor& head_large,
   x = conv(x, "conv5_6", 1, false, false);
   head_small = conv(x, "head_5", 1, false, false);
 
+  if (is_lite_) {
+    // Single-head topology (graph.py walk_topology_lite): identical walk up
+    // to head_5, no deconv/concat branch.
+    head_large = Tensor();
+    return;
+  }
+
   Tensor up = yf::deconv2x(c52, get(w_, "deconv5_1/kernel"), get(w_, "deconv5_1/bias"));
   x = concat_c(c42, up);
   x = conv(x, "conv4_1_1");

@@ -226,9 +226,12 @@ Tensor fused_res_block(const Tensor& x, const NamedTensor& k1,
   const int cmid = (int)k1.shape[3];
   const int cout = (int)k3.shape[3];
   (void)H;
-  if ((int)k1.shape[2] != cin || (int)k2.shape[0] != 3 ||
-      (int)k2.shape[2] != 1 || (int)k2.shape[3] != cmid ||
-      (int)k3.shape[2] != cmid || (residual && cout != cin) ||
+  if ((int)k1.shape[0] != 1 || (int)k1.shape[1] != 1 ||
+      (int)k1.shape[2] != cin || (int)k2.shape[0] != 3 ||
+      (int)k2.shape[1] != 3 || (int)k2.shape[2] != 1 ||
+      (int)k2.shape[3] != cmid || (int)k3.shape[0] != 1 ||
+      (int)k3.shape[1] != 1 || (int)k3.shape[2] != cmid ||
+      (residual && cout != cin) ||
       b1.f32.size() != (size_t)cmid || b2.f32.size() != (size_t)cmid ||
       b3.f32.size() != (size_t)cout)
     throw std::runtime_error("fused_res_block shape mismatch");

@@ -53,10 +53,6 @@ def cmd_detect(args) -> int:
     os.makedirs(args.out, exist_ok=True)
 
     if args.backend == "native":
-        if args.arch != "fastest":
-            print("--backend native drives the two-head C++ engine; "
-                  "use --backend jax for --arch lite")
-            return 2
         import time
 
         import cv2
@@ -254,15 +250,11 @@ def cmd_export(args) -> int:
     folded = fold_batchnorm(variables)
     os.makedirs(args.out, exist_ok=True)
 
-    if arch == "fastest":
-        save_native_weights(folded, os.path.join(args.out, "model.yfb"))
-        print("wrote", os.path.join(args.out, "model.yfb"))
-        save_native_weights(quantize_weights(folded),
-                            os.path.join(args.out, "model_int8.yfb"))
-        print("wrote", os.path.join(args.out, "model_int8.yfb"))
-    else:
-        print("native .yfb engine drives the two-head topology only; "
-              "skipping model.yfb for --arch lite")
+    save_native_weights(folded, os.path.join(args.out, "model.yfb"))
+    print("wrote", os.path.join(args.out, "model.yfb"))
+    save_native_weights(quantize_weights(folded),
+                        os.path.join(args.out, "model_int8.yfb"))
+    print("wrote", os.path.join(args.out, "model_int8.yfb"))
 
     graph_arch = "yolofastest" if arch == "fastest" else "yolofastest-lite"
     export_onnx(folded, cfg.io.input_hw, os.path.join(args.out, "model.onnx"),
@@ -286,10 +278,7 @@ def cmd_export(args) -> int:
     save_exported(exp, os.path.join(args.out, "detect.stablehlo"))
     print("wrote", os.path.join(args.out, "detect.stablehlo"))
 
-    if args.calib_data and arch != "fastest":
-        print("int8 executors drive the two-head topology only; "
-              "skipping forward_int8.stablehlo for --arch lite")
-    elif args.calib_data:
+    if args.calib_data:
         import numpy as np
 
         from yolofastest_tpu.inference.detector import load_net_input
@@ -300,7 +289,8 @@ def cmd_export(args) -> int:
             [load_net_input(os.path.join(args.calib_data, n), cfg.io)[0]
              for n in names]
         )
-        exp = export_int8_forward(variables, cfg, cal, batch=args.batch)
+        exp = export_int8_forward(variables, cfg, cal, batch=args.batch,
+                                  arch=arch)
         save_exported(exp, os.path.join(args.out, "forward_int8.stablehlo"))
         print("wrote", os.path.join(args.out, "forward_int8.stablehlo"))
     return 0
@@ -393,8 +383,8 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--out", required=True)
     x.add_argument("--batch", type=int, default=1)
     x.add_argument("--arch", default="fastest", choices=["fastest", "lite"],
-                   help="lite exports model.pt + StableHLO only (the native "
-                        ".yfb engine and int8 executors are two-head)")
+                   help="model architecture; every artifact is emitted for "
+                        "both (lite = single-head topology)")
     x.add_argument("--calib-data", default=None,
                    help="directory of calibration .jpg images; when given, "
                         "also exports the int8 graph (forward_int8.stablehlo)")

@@ -87,9 +87,11 @@ def export_int8_forward(
     calibration,
     batch: int = 1,
     fused: bool = False,
+    arch: str = "fastest",
 ) -> jexport.Exported:
     """int8 deployment graph, quantised weights AND activation scales baked
-    in: (B,H,W,1) float net input -> (large, small) float heads.
+    in: (B,H,W,1) float net input -> float head tuple ((large, small), or
+    (small,) for lite).
 
     The serialised analogue of the reference's quantised-NPU artifact
     (``rknn.build(do_quantization=...)``, ``rknn_deploy.py:43`` — which the
@@ -103,13 +105,14 @@ def export_int8_forward(
     io = config.io
     folded = fold_batchnorm(jax.device_get(jax.tree.map(jnp.asarray, variables)))
     batches = calibration if isinstance(calibration, (list, tuple)) else [calibration]
-    scales = calibrate(folded, batches)
+    scales = calibrate(folded, batches, arch=arch)
     qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
     apply_q = quantized_apply_fused if fused else quantized_apply
 
     def fn(x):
-        large, small = apply_q(qparams, scales, x)
-        return large.astype(jnp.float32), small.astype(jnp.float32)
+        heads = apply_q(qparams, scales, x, arch=arch)
+        heads = heads if isinstance(heads, (tuple, list)) else (heads,)
+        return tuple(h.astype(jnp.float32) for h in heads)
 
     x = jnp.zeros((batch, *io.input_hw, io.input_channels), jnp.float32)
     return _export_fn(fn, (x,))

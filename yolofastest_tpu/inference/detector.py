@@ -72,11 +72,6 @@ class Detector:
             raise ValueError(f"unknown backend {backend!r}")
         if arch not in ("fastest", "lite"):
             raise ValueError(f"unknown arch {arch!r}")
-        if arch == "lite" and backend != "fp":
-            raise NotImplementedError(
-                "int8 backends drive the two-head topology walker; lite is "
-                "fp-only for now"
-            )
         self.config = config
         self.backend = backend
         self.arch = arch
@@ -101,7 +96,8 @@ class Detector:
 
             folded = fold_batchnorm(jax.device_get(self.variables))
             scales = self._load_or_calibrate(
-                folded, calibration, calibration_cache, calibrate
+                folded, calibration, calibration_cache,
+                functools.partial(calibrate, arch=arch),
             )
             qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
             self.variables = qparams
@@ -110,7 +106,7 @@ class Detector:
                        else quantized_apply)
 
             def _apply(variables, images):
-                return apply_q(variables, scales, images)
+                return _as_heads(apply_q(variables, scales, images, arch=arch))
         elif fold_bn:
             # Deployment mode: run the BN-folded graph (the converted-model
             # analogue, models/graph.py) — skips the BN arithmetic entirely.

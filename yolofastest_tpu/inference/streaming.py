@@ -2,31 +2,37 @@
 
 The production-serving shape of the detect pipeline (BASELINE.json:
 "batched streaming inference ... all stay on-chip").  JAX dispatch is
-asynchronous, so the pipeline below gets transfer/compute overlap for free:
+asynchronous, so the pipeline below gets transfer/compute overlap by
+keeping ``depth`` batches in flight:
 
-  put(batch k+1)  |  compute(batch k)  |  fetch(batch k-1)
+  put(batch k) | compute(batch k-1) | ... | fetch(batch k-depth)
 
-by keeping one batch in flight and only materialising results one step
-behind.  The reference processes one image at a time, synchronously
-(``detect.py:141-192``).
+H2D is issued explicitly (``jax.device_put``) as soon as a host batch is
+available, so upload of batch k rides under the compute of earlier batches;
+results are only materialised ``depth`` steps behind.  Through a remote
+runtime (where every fetch is a round-trip), depth > 1 hides the
+round-trip floor under device compute — the reference processes one image
+at a time, synchronously (``detect.py:141-192``).
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Iterable, Iterator, Optional
+from collections import deque
+from typing import Any, Dict, Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from yolofastest_tpu.configs import Config
-from yolofastest_tpu.models import YoloFastest
+from yolofastest_tpu.models import YoloFastest, YoloFastestLite
 from yolofastest_tpu.ops import (batched_nms, decode_heads, normalize,
                                  unpack_detections)
 
 
 class StreamingDetector:
-    """Iterator-in, iterator-out batched detection with one batch in flight.
+    """Iterator-in, iterator-out batched detection with ``depth`` batches in
+    flight.
 
     Args:
       config: framework config.
@@ -34,6 +40,11 @@ class StreamingDetector:
       compute_dtype: jnp.bfloat16 for deployment throughput.
       fold_bn: fold BatchNorm into the convs (the deployment graph the
         batched Detector/bench headline also use) instead of flax apply.
+      arch: ``'fastest'`` (two heads) or ``'lite'`` (single head).
+      depth: number of batches in flight before the first result is
+        fetched.  1 reproduces the strict put/compute/fetch overlap; >= 2
+        additionally hides the runtime round-trip floor (each fetch is a
+        round-trip through a remote runtime) under device compute.
 
     ``__call__`` consumes an iterable of uint8 gray frame batches
     ``(B, H, W)`` (fixed B for a single compilation) and yields detection
@@ -41,26 +52,36 @@ class StreamingDetector:
     """
 
     def __init__(self, config: Config, variables: Dict[str, Any],
-                 compute_dtype=jnp.bfloat16, fold_bn: bool = False):
+                 compute_dtype=jnp.bfloat16, fold_bn: bool = False,
+                 arch: str = "fastest", depth: int = 2):
         io = config.io
+        if arch not in ("fastest", "lite"):
+            raise ValueError(f"unknown arch {arch!r}")
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
         self.config = config
+        self.depth = depth
         if fold_bn:
-            from yolofastest_tpu.models import fold_batchnorm, folded_apply
+            from yolofastest_tpu.models import (fold_batchnorm, folded_apply,
+                                                folded_apply_lite)
 
             folded = fold_batchnorm(jax.device_get(
                 jax.tree.map(jnp.asarray, variables)))
             self.variables = jax.tree.map(jnp.asarray, folded)
-            apply_fn = lambda v, imgs: folded_apply(v, imgs, compute_dtype)
+            apply_folded = folded_apply if arch == "fastest" else folded_apply_lite
+            apply_fn = lambda v, imgs: apply_folded(v, imgs, compute_dtype)
         else:
             self.variables = jax.tree.map(jnp.asarray, variables)
-            model = YoloFastest(num_cls=io.num_cls, num_anchors=io.num_anchors,
-                                compute_dtype=compute_dtype)
+            model_cls = YoloFastest if arch == "fastest" else YoloFastestLite
+            model = model_cls(num_cls=io.num_cls, num_anchors=io.num_anchors,
+                              compute_dtype=compute_dtype)
             apply_fn = lambda v, imgs: model.apply(v, imgs, train=False)
 
         @jax.jit
         def pipeline(variables, frames):
             imgs = normalize(frames, compute_dtype)[..., None]
             heads = apply_fn(variables, imgs)
+            heads = heads if isinstance(heads, (tuple, list)) else (heads,)
             boxes, conf, cls_score, cls_idx, valid = decode_heads(
                 heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
             )
@@ -73,11 +94,12 @@ class StreamingDetector:
         self._pipeline = pipeline
 
     def __call__(self, frame_batches: Iterable[np.ndarray]) -> Iterator[Dict[str, np.ndarray]]:
-        pending = None
+        inflight: deque = deque()
         for frames in frame_batches:
-            out = self._pipeline(self.variables, jnp.asarray(frames))
-            if pending is not None:
-                yield unpack_detections(np.asarray(pending))  # fetch k-1 while k runs
-            pending = out
-        if pending is not None:
-            yield unpack_detections(np.asarray(pending))
+            dev = jax.device_put(frames)  # async H2D, ahead of consumption
+            inflight.append(self._pipeline(self.variables, dev))
+            if len(inflight) >= self.depth:
+                # fetch the oldest batch while newer ones run
+                yield unpack_detections(np.asarray(inflight.popleft()))
+        while inflight:
+            yield unpack_detections(np.asarray(inflight.popleft()))

@@ -50,12 +50,21 @@ class NativeEngine:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.c_float, ctypes.c_int, f32p,
         ]
+        self.lib.yf_is_lite.restype = ctypes.c_int
+        self.lib.yf_is_lite.argtypes = [ctypes.c_void_p]
         self.handle = self.lib.yf_create(weights_path.encode())
         if not self.handle:
             raise RuntimeError(f"failed to load weights: {weights_path}")
+        self.is_lite = bool(self.lib.yf_is_lite(self.handle))
         self.config = config
         io = config.io
         self._anchors = np.asarray(io.anchors, np.float32).reshape(-1)
+        if self.is_lite != (len(io.anchors) == 1):
+            raise ValueError(
+                f"weights are {'lite' if self.is_lite else 'two-head'} but "
+                f"config has {len(io.anchors)} anchor group(s); use a "
+                f"{'lite-*' if self.is_lite else 'non-lite'} config preset"
+            )
 
     def __del__(self):
         if getattr(self, "handle", None):
@@ -63,8 +72,9 @@ class NativeEngine:
             self.handle = None
 
     def forward(self, img: np.ndarray):
-        """(H, W) or (H, W, 1) normalised float32 -> (head_large, head_small)
-        NHWC logits."""
+        """(H, W) or (H, W, 1) normalised float32 -> head NHWC logits:
+        ``(head_large, head_small)`` for the two-head net, ``(head_small,)``
+        for lite weights."""
         io = self.config.io
         h, w = io.input_hw
         img = np.ascontiguousarray(img.reshape(h, w), np.float32)
@@ -75,7 +85,7 @@ class NativeEngine:
                                   large.reshape(-1), small.reshape(-1))
         if ret != 0:
             raise RuntimeError("yf_forward failed")
-        return large, small
+        return (small,) if self.is_lite else (large, small)
 
     def detect(self, img: np.ndarray, max_det: int = 64) -> List[List[float]]:
         """(H, W) normalised float32 -> rows

@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from yolofastest_tpu.models.graph import Executor, FoldedExecutor, walk_topology
+from yolofastest_tpu.models.graph import (Executor, FoldedExecutor,
+                                          walk_topology, walk_topology_lite)
+
+_WALKS = {"fastest": walk_topology, "lite": walk_topology_lite}
 
 
 # ------------------------------------------------------------------ weights
@@ -99,16 +102,18 @@ class _RecordingExecutor(FoldedExecutor):
 def calibrate(
     folded: Dict[str, Dict[str, np.ndarray]],
     batches: Sequence[np.ndarray],
+    arch: str = "fastest",
 ) -> Dict[str, float]:
     """Run sample batches through the fp folded graph, return per-layer
     activation scales ``amax / 127`` (the RKNN-calibration analogue — the
     reference feeds a dataset.txt image list to ``rknn.build`` when
     quantising)."""
+    walk = _WALKS[arch]
 
     @jax.jit
     def one_batch(x):
         ex = _RecordingExecutor(folded)
-        walk_topology(x, ex)
+        walk(x, ex)
         return ex.amax
 
     acc: Dict[str, float] = {}
@@ -179,9 +184,11 @@ class Int8Executor(Executor):
         return acc.astype(self.dt) * (sx * jnp.asarray(p["w_scale"], self.dt)) + jnp.asarray(p["bias"], self.dt)
 
 
-def quantized_apply(qparams, act_scales, x, out_dtype=jnp.float32):
-    """Run the int8 deployment graph: (B,H,W,1) float -> (head_large, head_small)."""
-    return walk_topology(x, Int8Executor(qparams, act_scales, out_dtype))
+def quantized_apply(qparams, act_scales, x, out_dtype=jnp.float32,
+                    arch: str = "fastest"):
+    """Run the int8 deployment graph: (B,H,W,1) float -> (head_large,
+    head_small) — or head_small alone for ``arch='lite'``."""
+    return _WALKS[arch](x, Int8Executor(qparams, act_scales, out_dtype))
 
 
 # ----------------------------------------------------- fused int8 activations
@@ -283,9 +290,10 @@ class Int8FusedExecutor(Executor):
         return _Q(jnp.concatenate([zx, zy], axis=-1), s_out)
 
 
-def quantized_apply_fused(qparams, act_scales, x, out_dtype=jnp.float32):
+def quantized_apply_fused(qparams, act_scales, x, out_dtype=jnp.float32,
+                          arch: str = "fastest"):
     """End-to-end int8 inference: (B,H,W,1) float input -> float head logits,
     all intermediate activations int8 in HBM.  Requires ``act_scales`` from
     :func:`calibrate` (which records the needed ``out/...`` scales)."""
     ex = Int8FusedExecutor(qparams, act_scales, out_dtype)
-    return walk_topology(ex.quantize_input(x), ex)
+    return _WALKS[arch](ex.quantize_input(x), ex)
