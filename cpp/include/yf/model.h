@@ -7,8 +7,10 @@
 // topology drives the JAX, int8 and this C++ path).
 #pragma once
 
+#include <map>
 #include <string>
 
+#include "yf/int8.h"
 #include "yf/tensor.h"
 #include "yf/weights.h"
 
@@ -30,13 +32,17 @@ Tensor fused_res_block(const Tensor& x, const NamedTensor& k1,
 class YoloFastestNet {
  public:
   // Accepts fp32 .yfb files (fold_batchnorm export) and int8-quantised ones
-  // (quantize_weights export: kernel_q int8 + per-out-channel w_scale) —
-  // int8 kernels are dequantised at load, so the 4x-smaller artifact runs
-  // through the same engine (weight-only quantisation, the embedded
-  // model-size story).
+  // (quantize_weights export: kernel_q int8 + per-out-channel w_scale).
+  // int8 kernels are always dequantised at load so a full fp32 path exists
+  // (weight-only quantisation: the 4x-smaller-artifact story); when the
+  // file ALSO carries activation scales (act_scale per layer, written by
+  // save_native_weights(..., act_scales=calibrate(...))), the 1x1 convs
+  // (~90% of FLOPs) execute with real int8 arithmetic (AVX-512 VNNI GEMM,
+  // yf/int8.h).  Set YF_INT8=0 to force the fp32 path for A/B runs.
   explicit YoloFastestNet(const std::string& weights_path)
       : w_(load_weights(weights_path)) {
     dequantize_int8_weights();
+    build_int8_layers();
     // Lite (single-head) .yfb files carry no head_4 branch; the engine
     // walks the matching topology (models/graph.py walk_topology_lite).
     is_lite_ = w_.find("head_4/kernel") == w_.end();
@@ -49,6 +55,9 @@ class YoloFastestNet {
 
   bool is_lite() const { return is_lite_; }
 
+  // Number of layers executing with int8 arithmetic (0 = pure fp32).
+  int int8_layer_count() const { return (int)int8_.size(); }
+
  private:
   Tensor conv(const Tensor& x, const std::string& name, int stride = 1,
               bool depthwise = false, bool relu = true) const;
@@ -56,8 +65,10 @@ class YoloFastestNet {
   Tensor chain3(const Tensor& x, const std::string& pw1,
                 const std::string& dw, const std::string& pw2) const;
   void dequantize_int8_weights();
+  void build_int8_layers();
 
   Weights w_;
+  std::map<std::string, Int8Conv1x1> int8_;
   bool is_lite_ = false;
 };
 

@@ -24,6 +24,11 @@ int yf_is_lite(void* h) {
   return static_cast<yf::YoloFastestNet*>(h)->is_lite() ? 1 : 0;
 }
 
+// Number of layers running real int8 arithmetic (0 = pure fp32 engine).
+int yf_int8_layers(void* h) {
+  return static_cast<yf::YoloFastestNet*>(h)->int8_layer_count();
+}
+
 // img: (in_h, in_w) float32 normalized gray.  Writes raw NHWC head logits to
 // caller buffers sized (in_h/16)*(in_w/16)*ch and (in_h/32)*(in_w/32)*ch.
 // For lite weights head_large may be null (nothing is written to it).

@@ -81,15 +81,52 @@ void YoloFastestNet::dequantize_int8_weights() {
   for (auto& kv : synthesized) w_[kv.first] = std::move(kv.second);
 }
 
+void YoloFastestNet::build_int8_layers() {
+  // Real int8 arithmetic engages for a 1x1 conv when the .yfb carries its
+  // quantised kernel AND an input activation scale (static quantisation:
+  // same per-tensor-input / per-channel-weight semantics as the JAX
+  // Int8Executor).  YF_INT8=0 disables for fp32 A/B comparisons.
+  const char* env = std::getenv("YF_INT8");
+  if (env && env[0] == '0') return;
+  for (const auto& [key, t] : w_) {
+    const auto pos = key.rfind("/kernel_q");
+    if (pos == std::string::npos || t.is_f32) continue;
+    if (t.shape.size() != 4 || t.shape[0] != 1 || t.shape[1] != 1) continue;
+    const std::string layer = key.substr(0, pos);
+    auto sc = w_.find(layer + "/act_scale");
+    if (sc == w_.end() || sc->second.f32.empty()) continue;
+    int8_.emplace(layer,
+                  pack_int8_conv1x1(t, w_.at(layer + "/w_scale"),
+                                    w_.at(layer + "/bias"), sc->second.f32[0]));
+  }
+}
+
 Tensor YoloFastestNet::conv(const Tensor& x, const std::string& name, int stride,
                             bool depthwise, bool relu) const {
   ScopedTimer t(name);
+  if (!depthwise && stride == 1) {
+    auto it = int8_.find(name);
+    if (it != int8_.end()) return conv1x1_int8(x, it->second, relu);
+  }
   return conv2d(x, get(w_, name + "/kernel"), get(w_, name + "/bias"),
                 stride, depthwise, relu);
 }
 
 Tensor YoloFastestNet::res(Tensor x, const std::string& name) const {
   ScopedTimer t(name);
+  auto i1 = int8_.find(name + "/conv1");
+  auto i3 = int8_.find(name + "/conv3");
+  if (i1 != int8_.end() && i3 != int8_.end()) {
+    // int8 path: the two pointwise convs (the FLOPs) run as VNNI GEMMs;
+    // the tiny dw3x3 stays fp32; the residual add fuses into conv3's
+    // epilogue.  Unfused (three tensors touch RAM) but the 3-4x pointwise
+    // arithmetic win dominates the ring-buffer fusion's bandwidth saving.
+    Tensor mid = conv1x1_int8(x, i1->second, /*relu=*/true);
+    mid = conv2d(mid, get(w_, name + "/conv2/kernel"),
+                 get(w_, name + "/conv2/bias"), 1, /*depthwise=*/true,
+                 /*relu=*/true);
+    return conv1x1_int8(mid, i3->second, /*relu=*/false, &x);
+  }
   return fused_res_block(
       x, get(w_, name + "/conv1/kernel"), get(w_, name + "/conv1/bias"),
       get(w_, name + "/conv2/kernel"), get(w_, name + "/conv2/bias"),
@@ -101,6 +138,16 @@ Tensor YoloFastestNet::chain3(const Tensor& x, const std::string& pw1,
   // Non-residual 1x1(relu) -> dw3x3(relu) -> 1x1 chain, same fusion as res.
   // Profile label names all three fused layers (YF_PROFILE reports fused
   // groups, not individual convs, for fused stages).
+  auto i1 = int8_.find(pw1);
+  auto i2 = int8_.find(pw2);
+  if (i1 != int8_.end() && i2 != int8_.end()) {
+    const std::string label = pw1 + "+" + dw + "+" + pw2 + "(int8)";
+    ScopedTimer t(label);
+    Tensor mid = conv1x1_int8(x, i1->second, /*relu=*/true);
+    mid = conv2d(mid, get(w_, dw + "/kernel"), get(w_, dw + "/bias"), 1,
+                 /*depthwise=*/true, /*relu=*/true);
+    return conv1x1_int8(mid, i2->second, /*relu=*/false);
+  }
   const std::string label = pw1 + "+" + dw + "+" + pw2;
   ScopedTimer t(label);
   return fused_res_block(

@@ -25,19 +25,23 @@ inline int out_dim(int in, int k, int stride, int pad) {
   return (in + 2 * pad - k) / stride + 1;
 }
 
-// Interior row-block of a full 3x3 conv with COMPILE-TIME cout, so the
-// MB x COUT accumulator tile unrolls into vector registers (a runtime
-// cout bound leaves it in L1 and the store port serialises the FMA
-// chains).  Accumulation order (bias + ascending dy,dx,c) matches the
+// Interior row-block of a full 3x3 conv with COMPILE-TIME cout AND pixel
+// count, so the MB x COUT accumulator tile unrolls into vector registers
+// (a runtime bound on either loop leaves it in L1 and the store-to-load
+// forwarding on the accumulator serialises the FMA chains — measured ~7x
+// slower).  Accumulation order (bias + ascending dy,dx,c) matches the
 // per-pixel reference path bitwise.
-template <int COUT_T>  // COUT_T = 0 -> runtime cout (acc stays in L1)
-inline void conv3x3_row_block(const float* row0, const float* kw,
-                              const float* bs, float* out_row, int ox0, int mb,
-                              int cin, int cout_rt, int stride,
-                              int in_row_stride, bool relu) {
-  constexpr int MB = 4, MAXC = 64;
+template <int COUT_T, int MB_T>  // 0 -> runtime bound (acc stays in L1)
+inline void conv3x3_block_body(const float* __restrict row0,
+                               const float* __restrict kw,
+                               const float* __restrict bs,
+                               float* __restrict out_row, int ox0, int mb_rt,
+                               int cin, int cout_rt, int stride,
+                               int in_row_stride, bool relu) {
+  constexpr int MAXB = 4, MAXC = 64;
   const int cout = COUT_T ? COUT_T : cout_rt;
-  float acc[MB][COUT_T ? COUT_T : MAXC];
+  const int mb = MB_T ? MB_T : mb_rt;
+  float acc[MB_T ? MB_T : MAXB][COUT_T ? COUT_T : MAXC];
   for (int m = 0; m < mb; ++m)
     for (int o = 0; o < cout; ++o) acc[m][o] = bs[o];
   for (int dy = 0; dy < 3; ++dy) {
@@ -62,53 +66,133 @@ inline void conv3x3_row_block(const float* row0, const float* kw,
   }
 }
 
+template <int COUT_T>
+inline void conv3x3_row_block(const float* row0, const float* kw,
+                              const float* bs, float* out_row, int ox0, int mb,
+                              int cin, int cout_rt, int stride,
+                              int in_row_stride, bool relu) {
+  if (mb == 4)  // full block: both tile bounds compile-time -> registers
+    conv3x3_block_body<COUT_T, 4>(row0, kw, bs, out_row, ox0, 4, cin, cout_rt,
+                                  stride, in_row_stride, relu);
+  else
+    conv3x3_block_body<COUT_T, 0>(row0, kw, bs, out_row, ox0, mb, cin, cout_rt,
+                                  stride, in_row_stride, relu);
+}
+
 // ---- row kernels shared by conv1x1 and the fused residual block
 
-// 1x1 conv over one row; same per-element order as conv1x1 (bias +
-// ascending c), so fused and unfused paths are bitwise-equal.  CIN_T /
-// COUT_T = 0 fall back to the runtime channel counts; compile-time counts
-// let the whole per-pixel body unroll (the small-channel stages are loop-
-// overhead-bound, not bandwidth-bound).
+// 1x1 conv over a block of pixels with REGISTER accumulators: per output
+// element the value order is bias + ascending c — identical to the old
+// in-memory-accumulator formulation (so fused/unfused stay bitwise-equal)
+// but without the store-to-load forwarding chain per input channel.
+// MB_T pixels are processed concurrently for FMA-chain ILP.
+template <int CIN_T, int COUT_T, int MB_T>
+inline void pw_block(const float* __restrict x, int mb_rt, int cin_rt,
+                     int cout_rt, const float* __restrict kw,
+                     const float* __restrict bs, bool relu,
+                     const float* __restrict add, float* __restrict y) {
+  constexpr int MAXB = 8, MAXC = 256;
+  const int cin = CIN_T ? CIN_T : cin_rt;
+  const int cout = COUT_T ? COUT_T : cout_rt;
+  const int mb = MB_T ? MB_T : mb_rt;
+  float acc[MB_T ? MB_T : MAXB][COUT_T ? COUT_T : MAXC];
+  for (int m = 0; m < mb; ++m)
+    for (int o = 0; o < cout; ++o) acc[m][o] = bs[o];
+  for (int c = 0; c < cin; ++c) {
+    const float* wrow = kw + (size_t)c * cout;
+    for (int m = 0; m < mb; ++m) {
+      const float xv = x[(size_t)m * cin + c];
+      for (int o = 0; o < cout; ++o) acc[m][o] += xv * wrow[o];
+    }
+  }
+  for (int m = 0; m < mb; ++m) {
+    float* ym = y + (size_t)m * cout;
+    if (relu)
+      for (int o = 0; o < cout; ++o) ym[o] = std::max(acc[m][o], 0.0f);
+    else if (add) {
+      const float* am = add + (size_t)m * cout;
+      for (int o = 0; o < cout; ++o) ym[o] = acc[m][o] + am[o];
+    } else
+      for (int o = 0; o < cout; ++o) ym[o] = acc[m][o];
+  }
+}
+
+// Row driver: full blocks run the all-compile-time body; the tail runs
+// with a runtime pixel count.  Wide couts use fewer pixels per block so
+// the accumulator tile stays within the 32 zmm registers.
 template <int CIN_T, int COUT_T>
 inline void pw_row(const float* x, int W, int cin_rt, int cout_rt,
                    const float* kw, const float* bs, bool relu,
                    const float* add, float* y) {
-  const int cin = CIN_T ? CIN_T : cin_rt;
   const int cout = COUT_T ? COUT_T : cout_rt;
-  constexpr int MB = 8;
-  for (int n0 = 0; n0 < W; n0 += MB) {
-    const int mb = std::min(MB, W - n0);
-    const float* Xb = x + (size_t)n0 * cin;
-    float* Yb = y + (size_t)n0 * cout;
-    for (int m = 0; m < mb; ++m) {
-      float* ym = Yb + (size_t)m * cout;
-      for (int o = 0; o < cout; ++o) ym[o] = bs[o];
+  const int cin = CIN_T ? CIN_T : cin_rt;
+  constexpr int MB = COUT_T == 0 ? 4 : (COUT_T <= 32 ? 8 : (COUT_T <= 96 ? 4 : 2));
+  int n0 = 0;
+  for (; n0 + MB <= W; n0 += MB)
+    pw_block<CIN_T, COUT_T, MB>(x + (size_t)n0 * cin, MB, cin_rt, cout_rt, kw,
+                                bs, relu, add ? add + (size_t)n0 * cout : nullptr,
+                                y + (size_t)n0 * cout);
+  if (n0 < W)
+    pw_block<CIN_T, COUT_T, 0>(x + (size_t)n0 * cin, W - n0, cin_rt, cout_rt,
+                               kw, bs, relu,
+                               add ? add + (size_t)n0 * cout : nullptr,
+                               y + (size_t)n0 * cout);
+}
+
+// Depthwise 3x3 interior pixels of one row, all 9 taps in registers: per
+// channel ONE accumulator takes bias + taps in ascending (dy,dx) order —
+// the same value-order as the tap-sweep formulation, so results stay
+// bitwise-equal, but without the store-to-load-forwarding round trip per
+// tap that made the sweep version ~7x slower (measured 2.2 vs 15+ GMAC/s).
+// __restrict + compile-time RELU let the channel loop vectorize.
+template <bool RELU>
+inline void dw3_interior(const float* __restrict r0, const float* __restrict r1,
+                         const float* __restrict r2, const float* __restrict kw,
+                         const float* __restrict bs, float* __restrict outrow,
+                         int ox_lo, int ox_hi_excl, int stride, int pad, int C) {
+  for (int ox = ox_lo; ox < ox_hi_excl; ++ox) {
+    const size_t i0 = (size_t)(ox * stride - pad) * C;
+    float* __restrict op = outrow + (size_t)ox * C;
+    for (int c = 0; c < C; ++c) {
+      float a = bs[c];
+      a += r0[i0 + c] * kw[c];
+      a += r0[i0 + C + c] * kw[C + c];
+      a += r0[i0 + 2 * C + c] * kw[2 * C + c];
+      a += r1[i0 + c] * kw[3 * C + c];
+      a += r1[i0 + C + c] * kw[4 * C + c];
+      a += r1[i0 + 2 * C + c] * kw[5 * C + c];
+      a += r2[i0 + c] * kw[6 * C + c];
+      a += r2[i0 + C + c] * kw[7 * C + c];
+      a += r2[i0 + 2 * C + c] * kw[8 * C + c];
+      op[c] = RELU ? std::max(a, 0.0f) : a;
     }
-    for (int c = 0; c < cin; ++c) {
-      const float* wrow = kw + (size_t)c * cout;
-      for (int m = 0; m < mb; ++m) {
-        const float xv = Xb[(size_t)m * cin + c];
-        float* ym = Yb + (size_t)m * cout;
-        for (int o = 0; o < cout; ++o) ym[o] += xv * wrow[o];
-      }
+  }
+}
+
+// Depthwise 5x5 interior, same register-accumulator treatment.
+template <bool RELU>
+inline void dw5_interior(const float* __restrict base,
+                         const float* __restrict kw, const float* __restrict bs,
+                         float* __restrict outrow, int ox_lo, int ox_hi_excl,
+                         int stride, int pad, int C, int irs) {
+  for (int ox = ox_lo; ox < ox_hi_excl; ++ox) {
+    const float* __restrict p = base + (size_t)(ox * stride - pad) * C;
+    float* __restrict op = outrow + (size_t)ox * C;
+    for (int c = 0; c < C; ++c) {
+      float a = bs[c];
+      for (int dy = 0; dy < 5; ++dy)
+        for (int dx = 0; dx < 5; ++dx)
+          a += p[(size_t)dy * irs + (size_t)dx * C + c] *
+               kw[((size_t)dy * 5 + dx) * C + c];
+      op[c] = RELU ? std::max(a, 0.0f) : a;
     }
-    if (relu)
-      for (int m = 0; m < mb; ++m) {
-        float* ym = Yb + (size_t)m * cout;
-        for (int o = 0; o < cout; ++o) ym[o] = std::max(ym[o], 0.0f);
-      }
-    else if (add)
-      for (int m = 0; m < mb; ++m) {
-        float* ym = Yb + (size_t)m * cout;
-        const float* am = add + (size_t)(n0 + m) * cout;
-        for (int o = 0; o < cout; ++o) ym[o] += am[o];
-      }
   }
 }
 
 // Depthwise 3x3 over one row given the three input rows (null at image
 // borders).  Tap order (dy,dx ascending, OOB skipped) matches dw_pixel;
-// each tap is a SEPARATE += so the fp reduction order stays bitwise-equal.
+// the all-rows-valid case runs the register-accumulator kernel (same
+// value order, bitwise-equal — locked by yf_fused_check).
 template <int C_T>
 inline void dw3_row(const float* rows[3], int W, int c_rt, const float* kw,
                     const float* bs, float* y) {
@@ -131,7 +215,12 @@ inline void dw3_row(const float* rows[3], int W, int c_rt, const float* kw,
   };
   edge_pixel(0);
   if (W > 1) edge_pixel(W - 1);
-  for (int x = 1; x < W - 1; ++x) {  // interior: no bounds checks
+  if (rows[0] && rows[1] && rows[2]) {  // interior rows: register path
+    dw3_interior<true>(rows[0], rows[1], rows[2], kw, bs, y, 1, W - 1,
+                       /*stride=*/1, /*pad=*/1, C);
+    return;
+  }
+  for (int x = 1; x < W - 1; ++x) {  // border rows: tap sweep, OOB skipped
     float* op = y + (size_t)x * C;
     for (int c = 0; c < C; ++c) op[c] = bs[c];
     for (int dy = 0; dy < 3; ++dy) {
@@ -157,12 +246,23 @@ void conv1x1(const Tensor& in, const float* W, const float* bias, Tensor& out,
   const int N = in.h * in.w;
   const float* X = in.data.data();
   float* Y = out.data.data();
+  if (cout > 256)  // bound of pw_block's runtime accumulator tile
+    throw std::runtime_error("conv1x1: cout > 256 unsupported");
   constexpr int CHUNK = 1024;  // pixels per OpenMP task
 #pragma omp parallel for schedule(static)
   for (int n0 = 0; n0 < N; n0 += CHUNK) {
     const int nb = std::min(CHUNK, N - n0);
-    pw_row<0, 0>(X + (size_t)n0 * cin, nb, cin, cout, W, bias, relu,
-                 nullptr, Y + (size_t)n0 * cout);
+    const float* Xb = X + (size_t)n0 * cin;
+    float* Yb = Y + (size_t)n0 * cout;
+    switch (cout) {  // compile-time cout -> register accumulator tiles
+      case 4:  pw_row<0, 4>(Xb, nb, cin, cout, W, bias, relu, nullptr, Yb); break;
+      case 8:  pw_row<0, 8>(Xb, nb, cin, cout, W, bias, relu, nullptr, Yb); break;
+      case 16: pw_row<0, 16>(Xb, nb, cin, cout, W, bias, relu, nullptr, Yb); break;
+      case 24: pw_row<0, 24>(Xb, nb, cin, cout, W, bias, relu, nullptr, Yb); break;
+      case 48: pw_row<0, 48>(Xb, nb, cin, cout, W, bias, relu, nullptr, Yb); break;
+      case 96: pw_row<0, 96>(Xb, nb, cin, cout, W, bias, relu, nullptr, Yb); break;
+      default: pw_row<0, 0>(Xb, nb, cin, cout, W, bias, relu, nullptr, Yb);
+    }
   }
 }
 }  // namespace
@@ -312,37 +412,21 @@ Tensor conv2d(const Tensor& in, const NamedTensor& kernel, const NamedTensor& bi
         }
         for (int ox = 0; ox < ox_lo; ++ox) dw_pixel(oy, ox);
         const float* base = in.data.data() + (size_t)iy0 * irs;
+        float* outrow = out.at(oy, 0);
         if (k == 3) {
-          for (int ox = ox_lo; ox < ox_hi_excl; ++ox) {
-            const float* p = base + (size_t)(ox * stride - pad) * C;
-            float* op = out.at(oy, ox);
-            for (int c = 0; c < C; ++c) {
-              float a = bs[c];
-              a += p[c] * kw[c];
-              a += p[C + c] * kw[C + c];
-              a += p[2 * C + c] * kw[2 * C + c];
-              a += p[irs + c] * kw[3 * C + c];
-              a += p[irs + C + c] * kw[4 * C + c];
-              a += p[irs + 2 * C + c] * kw[5 * C + c];
-              a += p[2 * irs + c] * kw[6 * C + c];
-              a += p[2 * irs + C + c] * kw[7 * C + c];
-              a += p[2 * irs + 2 * C + c] * kw[8 * C + c];
-              op[c] = relu ? std::max(a, 0.0f) : a;
-            }
-          }
+          if (relu)
+            dw3_interior<true>(base, base + irs, base + 2 * irs, kw, bs,
+                               outrow, ox_lo, ox_hi_excl, stride, pad, C);
+          else
+            dw3_interior<false>(base, base + irs, base + 2 * irs, kw, bs,
+                                outrow, ox_lo, ox_hi_excl, stride, pad, C);
         } else {  // k == 5
-          for (int ox = ox_lo; ox < ox_hi_excl; ++ox) {
-            const float* p = base + (size_t)(ox * stride - pad) * C;
-            float* op = out.at(oy, ox);
-            for (int c = 0; c < C; ++c) {
-              float a = bs[c];
-              for (int dy = 0; dy < 5; ++dy)
-                for (int dx = 0; dx < 5; ++dx)
-                  a += p[(size_t)dy * irs + (size_t)dx * C + c] *
-                       kw[((size_t)dy * 5 + dx) * C + c];
-              op[c] = relu ? std::max(a, 0.0f) : a;
-            }
-          }
+          if (relu)
+            dw5_interior<true>(base, kw, bs, outrow, ox_lo, ox_hi_excl,
+                               stride, pad, C, irs);
+          else
+            dw5_interior<false>(base, kw, bs, outrow, ox_lo, ox_hi_excl,
+                                stride, pad, C, irs);
         }
         for (int ox = ox_hi_excl; ox < ow; ++ox) dw_pixel(oy, ox);
       }
@@ -409,6 +493,10 @@ Tensor conv2d(const Tensor& in, const NamedTensor& kernel, const NamedTensor& bi
       for (int ox0 = ox_lo; ox0 < ox_hi_excl; ox0 += MB) {
         const int mb = std::min(MB, ox_hi_excl - ox0);
         switch (cout) {  // compile-time cout -> register accumulators
+          case 4:
+            conv3x3_row_block<4>(row0, kw, bs, out_row, ox0, mb, cin, cout,
+                                 stride, in_row_stride, relu);
+            break;
           case 8:
             conv3x3_row_block<8>(row0, kw, bs, out_row, ox0, mb, cin, cout,
                                  stride, in_row_stride, relu);

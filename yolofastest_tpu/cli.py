@@ -52,7 +52,7 @@ def cmd_detect(args) -> int:
     logger = config_logger(args.out, "detect_info.log")
     os.makedirs(args.out, exist_ok=True)
 
-    if args.backend == "native":
+    if args.backend in ("native", "native-int8"):
         import time
 
         import cv2
@@ -65,7 +65,27 @@ def cmd_detect(args) -> int:
 
         folded = fold_batchnorm(_load_weights(args.weights))
         yfb = os.path.join(args.out, "model.yfb")
-        save_native_weights(folded, yfb)
+        if args.backend == "native-int8":
+            # int8-arithmetic C++ engine: quantised weights + activation
+            # scales calibrated on the first target images (the same
+            # static-quantisation recipe as the jax int8 backends)
+            from yolofastest_tpu.inference.detector import load_net_input
+            from yolofastest_tpu.quant import calibrate, quantize_weights
+
+            names8 = sorted(f for f in os.listdir(args.data)
+                            if f.lower().endswith((".jpg", ".png", ".bmp")))[:8]
+            if not names8:
+                print(f"no calibration images (.jpg/.png/.bmp) in {args.data}")
+                return 2
+            cal = np.concatenate(
+                [load_net_input(os.path.join(args.data, n), cfg.io)[0]
+                 for n in names8]
+            )
+            scales = calibrate(folded, [cal], arch=args.arch)
+            save_native_weights(quantize_weights(folded), yfb,
+                                act_scales=scales)
+        else:
+            save_native_weights(folded, yfb)
         eng = NativeEngine(yfb, cfg)
         io = cfg.io
         names = sorted(f for f in os.listdir(args.data) if f.lower().endswith(".jpg"))
@@ -250,10 +270,29 @@ def cmd_export(args) -> int:
     folded = fold_batchnorm(variables)
     os.makedirs(args.out, exist_ok=True)
 
+    cal = None
+    act_scales = None
+    if args.calib_data:
+        import numpy as np
+
+        from yolofastest_tpu.inference.detector import load_net_input
+        from yolofastest_tpu.quant import calibrate
+
+        names = sorted(f for f in os.listdir(args.calib_data)
+                       if f.lower().endswith(".jpg"))[:8]
+        cal = np.concatenate(
+            [load_net_input(os.path.join(args.calib_data, n), cfg.io)[0]
+             for n in names]
+        )
+        act_scales = calibrate(folded, [cal], arch=arch)
+
     save_native_weights(folded, os.path.join(args.out, "model.yfb"))
     print("wrote", os.path.join(args.out, "model.yfb"))
+    # with --calib-data, the int8 .yfb also carries activation scales, so
+    # the C++ engine runs real int8 arithmetic on it (cpp/src/ops_int8.cpp)
     save_native_weights(quantize_weights(folded),
-                        os.path.join(args.out, "model_int8.yfb"))
+                        os.path.join(args.out, "model_int8.yfb"),
+                        act_scales=act_scales)
     print("wrote", os.path.join(args.out, "model_int8.yfb"))
 
     graph_arch = "yolofastest" if arch == "fastest" else "yolofastest-lite"
@@ -278,17 +317,7 @@ def cmd_export(args) -> int:
     save_exported(exp, os.path.join(args.out, "detect.stablehlo"))
     print("wrote", os.path.join(args.out, "detect.stablehlo"))
 
-    if args.calib_data:
-        import numpy as np
-
-        from yolofastest_tpu.inference.detector import load_net_input
-
-        names = sorted(f for f in os.listdir(args.calib_data)
-                       if f.lower().endswith(".jpg"))[:8]
-        cal = np.concatenate(
-            [load_net_input(os.path.join(args.calib_data, n), cfg.io)[0]
-             for n in names]
-        )
+    if cal is not None:
         exp = export_int8_forward(variables, cfg, cal, batch=args.batch,
                                   arch=arch)
         save_exported(exp, os.path.join(args.out, "forward_int8.stablehlo"))
@@ -327,7 +356,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="model architecture (lite = single-head variant; "
                         "use with --config lite-256x320)")
     d.add_argument("--backend", default="fp",
-                   choices=["fp", "jax", "native", "int8", "int8-fused"])
+                   choices=["fp", "jax", "native", "native-int8", "int8",
+                            "int8-fused"],
+                   help="native = fp32 C++ engine; native-int8 = C++ engine "
+                        "with int8 VNNI arithmetic on the 1x1 convs "
+                        "(calibrates on the first 8 target images)")
     d.add_argument("--fold-bn", action="store_true",
                    help="run the BN-folded deployment graph (fp backend)")
     d.add_argument("--batch", type=int, default=1,

@@ -32,13 +32,26 @@ _DTYPES = {np.dtype(np.float32): 0, np.dtype(np.int8): 1}
 _DTYPES_INV = {0: np.float32, 1: np.int8}
 
 
-def save_native_weights(folded: Dict[str, Dict[str, Any]], path: str) -> None:
+def save_native_weights(folded: Dict[str, Dict[str, Any]], path: str,
+                        act_scales: Dict[str, float] = None) -> None:
     """Write ``{layer: {tensor_name: array}}`` (e.g. fold_batchnorm or
-    quantize_weights output) as a flat ``layer/tensor`` -> array file."""
+    quantize_weights output) as a flat ``layer/tensor`` -> array file.
+
+    ``act_scales`` (the :func:`yolofastest_tpu.quant.calibrate` output) adds
+    a per-layer input activation scale (``layer/act_scale``); with those
+    present alongside int8 ``kernel_q`` weights, the C++ engine executes the
+    1x1 convs with real int8 arithmetic (``cpp/src/ops_int8.cpp``) instead
+    of dequantising to fp32 at load.  Scale keys that are not layer names
+    (the ``out/...`` fused-executor scales) are skipped.
+    """
     flat: Dict[str, np.ndarray] = {}
     for layer, tensors in folded.items():
         for tname, arr in tensors.items():
             flat[f"{layer}/{tname}"] = np.ascontiguousarray(np.asarray(arr))
+    if act_scales:
+        for layer, s in act_scales.items():
+            if layer in folded:
+                flat[f"{layer}/act_scale"] = np.asarray([s], np.float32)
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:

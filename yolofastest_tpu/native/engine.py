@@ -52,10 +52,15 @@ class NativeEngine:
         ]
         self.lib.yf_is_lite.restype = ctypes.c_int
         self.lib.yf_is_lite.argtypes = [ctypes.c_void_p]
+        self.lib.yf_int8_layers.restype = ctypes.c_int
+        self.lib.yf_int8_layers.argtypes = [ctypes.c_void_p]
         self.handle = self.lib.yf_create(weights_path.encode())
         if not self.handle:
             raise RuntimeError(f"failed to load weights: {weights_path}")
         self.is_lite = bool(self.lib.yf_is_lite(self.handle))
+        #: layers executing with real int8 arithmetic (0 = pure fp32; > 0
+        #: when the .yfb carries kernel_q weights AND act_scale entries)
+        self.int8_layers = int(self.lib.yf_int8_layers(self.handle))
         self.config = config
         io = config.io
         self._anchors = np.asarray(io.anchors, np.float32).reshape(-1)
