@@ -116,3 +116,37 @@ def test_fit_aborts_on_persistent_nonfinite_streak(tmp_path, log_every):
                     jax.tree.leaves(params_after)):
         np.testing.assert_array_equal(a, b)
         assert np.isfinite(b).all()
+
+
+def test_jax_bare_initialize_error_message_locked():
+    """``parallel.distributed.init_distributed`` degrades a BARE
+    ``jax.distributed.initialize()`` failure to a single-process no-op by
+    matching 'coordinator_address' in jax's ValueError text
+    (distributed.py).  Lock that message here: if a jax upgrade rewords
+    it, this test fails loudly instead of every bare single-process call
+    suddenly hard-failing in production."""
+    # Guard: under a real cluster environment auto-detection would succeed
+    # and initialize() would try to join it — skip there.
+    cluster_vars = ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+                    "KUBERNETES_SERVICE_HOST", "JAX_COORDINATOR_ADDRESS",
+                    "CLOUD_TPU_TASK_ID")
+    if any(v in os.environ for v in cluster_vars):
+        pytest.skip("cluster environment detected")
+    # fresh process: initialize() must run before any backend init (the
+    # suite's earlier tests have already initialized this process's backend)
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax\n"
+         "try:\n"
+         "    jax.distributed.initialize()\n"
+         "except ValueError as e:\n"
+         "    assert 'coordinator_address' in str(e), str(e)\n"
+         "    print('MESSAGE_LOCKED')\n"],
+        capture_output=True, text=True, timeout=300,
+        env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"},
+    )
+    assert r.returncode == 0, r.stderr
+    assert "MESSAGE_LOCKED" in r.stdout, r.stdout + r.stderr

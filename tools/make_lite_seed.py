@@ -52,7 +52,7 @@ def main():
     from yolofastest_tpu.models import (YoloFastestLite, load_variables,
                                         save_variables, zoo_path)
 
-    cfg = get_config(f"lite-{args.res}" if args.res == "256x320" else "512x640")
+    cfg = get_config(f"lite-{args.res}")
     full = load_variables(zoo_path(args.res))
     model = YoloFastestLite(num_cls=cfg.io.num_cls, num_anchors=cfg.io.num_anchors)
     init = jax.device_get(model.init(

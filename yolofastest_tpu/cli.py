@@ -348,7 +348,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     d = sub.add_parser("detect", help="batch-detect a directory of images")
-    d.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
+    d.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
     d.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
     d.add_argument("--data", required=True)
     d.add_argument("--out", required=True)
@@ -372,7 +372,7 @@ def build_parser() -> argparse.ArgumentParser:
     d.set_defaults(fn=cmd_detect)
 
     t = sub.add_parser("train", help="train on a VOC-XML dataset")
-    t.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
+    t.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
     t.add_argument("--train-dir", required=True)
     t.add_argument("--val-dir", default=None)
     t.add_argument("--epochs", type=int, default=None)
@@ -402,7 +402,7 @@ def build_parser() -> argparse.ArgumentParser:
     t.set_defaults(fn=cmd_train)
 
     e = sub.add_parser("eval", help="mAP on a VOC-XML val set")
-    e.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
+    e.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
     e.add_argument("--weights", required=True)
     e.add_argument("--val-dir", required=True)
     e.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
@@ -411,7 +411,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     x = sub.add_parser("export",
                        help="export StableHLO + ONNX + TorchScript + native .yfb")
-    x.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320"])
+    x.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
     x.add_argument("--weights", required=True)
     x.add_argument("--out", required=True)
     x.add_argument("--batch", type=int, default=1)

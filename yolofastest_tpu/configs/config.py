@@ -168,10 +168,23 @@ def config_lite_256x320(**overrides) -> Config:
     return Config(io=io)
 
 
+def config_lite_512x640(**overrides) -> Config:
+    """Single-head lite at the high resolution (anchor group 2, the one the
+    two-head 512x640 preset pairs with its stride-32 head)."""
+    io = IOConfig(
+        input_shape=(512, 640, 1),
+        anchors=_ANCHOR_GROUPS[2:3],
+        strides=(32,),
+        **{k: v for k, v in overrides.items() if k in IOConfig.__dataclass_fields__},
+    )
+    return Config(io=io)
+
+
 _PRESETS = {
     "256x320": config_256x320,
     "512x640": config_512x640,
     "lite-256x320": config_lite_256x320,
+    "lite-512x640": config_lite_512x640,
 }
 
 

@@ -161,7 +161,11 @@ class DetectionLoader:
                     self._cache[i] = _imread_gray_resized(
                         path, io.input_hw, self.config.io.origin_img_shape[:2])
                     self._cache_filled[i] = True
-                gray = self._cache[i]
+                # read-only view: an accidental in-place edit downstream
+                # (e.g. a future cv2 call with dst=) must raise instead of
+                # silently corrupting the cache for all later epochs
+                gray = self._cache[i].view()
+                gray.flags.writeable = False
             imgs[k], tgts[k] = load_example(path, labels, self.config,
                                             item_rng, self.augment, gray=gray)
 
