@@ -174,12 +174,71 @@ def main():
     print(f"host-inclusive batch {best_batch}: {dt_e2e*1e3:.2f} ms/iter -> "
           f"{best_batch/dt_e2e:,.0f} img/s", file=sys.stderr)
 
-    # ------------------- overlapped streaming (put k+1 | compute k | fetch k-1)
-    # StreamingDetector keeps one batch in flight, so compute and the packed
-    # D2H hide behind the next batch's H2D — the serving-shaped number.
-    # Measured 1.6x over the sequential host-inclusive loop even through the
-    # remote tunnel (536 vs 328 img/s, BENCH_r02 era); on a host-attached
-    # chip the transfer term shrinks and the ratio grows.
+    # --------------------- bulk transfer bandwidth probes (the serving bound)
+    # Host-inclusive serving is bounded by max(H2D, compute, D2H) per batch;
+    # measure each term so the streaming number below has a computed ceiling
+    # to be judged against (round-2 verdict item 1).
+    batch_bytes = best_batch * io.input_hw[0] * io.input_hw[1]  # uint8 frames
+    try:
+        # rtt floor first (subtracted from the timed windows below — through
+        # the tunnel one round-trip is tens of ms and would skew GB/s)
+        tiny = np.zeros((1,), np.float32)
+        np.asarray(jnp.sum(jax.device_put(tiny)))
+        rtts0 = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(jnp.sum(jax.device_put(tiny)))
+            rtts0.append(time.perf_counter() - t0)
+        rtt_floor = float(np.percentile(rtts0, 50))
+
+        # H2D: N sequential puts of DISTINCT batch-sized arrays (defeats any
+        # caching), closed by one tiny reduction fetch (transfers drain in
+        # submission order); one rtt floor subtracted.
+        bufs = [rng.integers(0, 256, (best_batch, *io.input_hw), np.uint8)
+                for _ in range(4)]
+        np.asarray(jnp.sum(jax.device_put(bufs[0])))  # warm path
+        t0 = time.perf_counter()
+        devs = [jax.device_put(b) for b in bufs]
+        np.asarray(jnp.sum(devs[-1]))  # drains the ordered transfer stream
+        t_h2d = max(time.perf_counter() - t0 - rtt_floor, 1e-9)
+        h2d_gbps = len(bufs) * batch_bytes / t_h2d / 1e9
+        h2d_s = batch_bytes / (h2d_gbps * 1e9)
+        extras["h2d_gbps"] = round(h2d_gbps, 2)
+
+        # D2H: fetch a device-resident batch-sized array, p50 of 5, one rtt
+        # floor subtracted
+        big = jax.device_put(bufs[0])
+        np.asarray(big)
+        d2h = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(big)
+            d2h.append(time.perf_counter() - t0)
+        d2h_gbps = batch_bytes / max(
+            float(np.percentile(d2h, 50)) - rtt_floor, 1e-9) / 1e9
+        extras["d2h_gbps"] = round(d2h_gbps, 2)
+
+        # D2H of the actual per-batch result (packed detections, small)
+        d2h_out_s = (best_batch * io.max_det * 8 * 4) / (d2h_gbps * 1e9)
+        bound_s = max(h2d_s, best_dt, d2h_out_s)
+        bound_img_s = best_batch / bound_s
+        extras["serving_bound_img_s"] = round(bound_img_s, 1)
+        extras["serving_bound_term"] = (
+            "h2d" if bound_s == h2d_s else
+            ("compute" if bound_s == best_dt else "d2h"))
+        print(f"transfer probes: H2D {h2d_gbps:.2f} GB/s, D2H {d2h_gbps:.2f} "
+              f"GB/s -> serving bound {bound_img_s:,.0f} img/s "
+              f"(binding term: {extras['serving_bound_term']}; compute "
+              f"{best_dt*1e3:.2f} ms, H2D {h2d_s*1e3:.2f} ms/batch)",
+              file=sys.stderr)
+    except Exception as e:
+        bound_img_s = None
+        print(f"transfer probes failed: {e}", file=sys.stderr)
+
+    # ------------------- overlapped streaming (put k | compute k-1 | fetch k-d)
+    # StreamingDetector keeps `depth` batches in flight with explicit async
+    # device_put, so H2D / compute / the packed D2H pipeline against each
+    # other; sweep depths and report the best against the computed bound.
     try:
         from yolofastest_tpu.inference import StreamingDetector
 
@@ -187,16 +246,29 @@ def main():
         # the sequential host-inclusive number above — apples to apples
         for _ in sd([frames_host]):  # compile + warmup
             pass
+        best_ov = 0.0
+        best_depth = None
         reps = 10
-        t0 = time.perf_counter()
-        n = 0
-        for det in sd([frames_host] * reps):
-            n += det["count"].shape[0]
-        dt_ov = time.perf_counter() - t0
-        extras["e2e_stream_overlapped_img_s"] = round(n / dt_ov, 1)
-        print(f"overlapped streaming batch {best_batch}: "
-              f"{dt_ov/reps*1e3:.2f} ms/batch -> {n/dt_ov:,.0f} img/s",
-              file=sys.stderr)
+        for depth in (1, 2, 4):
+            sd.depth = depth  # depth only affects __call__ scheduling
+            n = 0
+            t0 = time.perf_counter()
+            for det in sd([frames_host] * reps):
+                n += det["count"].shape[0]
+            dt_ov = time.perf_counter() - t0
+            ips = n / dt_ov
+            print(f"overlapped streaming depth {depth}: "
+                  f"{dt_ov/reps*1e3:.2f} ms/batch -> {ips:,.0f} img/s",
+                  file=sys.stderr)
+            if ips > best_ov:
+                best_ov, best_depth = ips, depth
+        extras["e2e_stream_overlapped_img_s"] = round(best_ov, 1)
+        extras["e2e_stream_depth"] = best_depth
+        if bound_img_s:
+            extras["e2e_stream_vs_bound"] = round(best_ov / bound_img_s, 3)
+            print(f"overlapped streaming best (depth {best_depth}): "
+                  f"{best_ov:,.0f} img/s = {best_ov/bound_img_s:.0%} of the "
+                  f"transfer bound", file=sys.stderr)
     except Exception as e:
         print(f"overlapped streaming bench failed: {e}", file=sys.stderr)
 
