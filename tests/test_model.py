@@ -84,7 +84,9 @@ def test_lite_end_to_end_train_and_detect(tmp_path):
     assert np.asarray(out["boxes"]).shape == (8, min(n_cand, cfg.io.max_det), 4)
     assert np.isfinite(np.asarray(out["conf"])).all()
 
-    import pytest
-
-    with pytest.raises(NotImplementedError):
-        Detector(cfg, variables=trainer.variables, arch="lite", backend="int8")
+    # lite x int8 is first-class (round 3): same stack, quantised executor
+    det8 = Detector(cfg, variables=trainer.variables, arch="lite",
+                    backend="int8", calibration=imgs)
+    out8 = det8.run(imgs)
+    assert np.asarray(out8["boxes"]).shape == np.asarray(out["boxes"]).shape
+    assert np.isfinite(np.asarray(out8["conf"])).all()
