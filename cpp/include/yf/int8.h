@@ -45,10 +45,26 @@ Int8Conv1x1 pack_int8_conv1x1(const NamedTensor& kernel_q,
                               const NamedTensor& w_scale,
                               const NamedTensor& bias, float act_scale);
 
+// Pack a full (3,3,Cin,Cout) kernel as an im2row GEMM: the "input channel"
+// axis becomes the 9*Cin tap vector in ascending (dy,dx,c) order, so the
+// SAME VNNI GEMM kernels execute it.  (`cin` in the returned struct is the
+// tap length; the true channel count is cin/9.)
+Int8Conv1x1 pack_int8_conv3x3(const NamedTensor& kernel_q,
+                              const NamedTensor& w_scale,
+                              const NamedTensor& bias, float act_scale);
+
 // y = relu?(int8conv(x) [+ add]) over all pixels; x is fp32 NHWC, output
 // fp32 NHWC.  `add` (optional, same shape as out) fuses a residual add
 // into the epilogue.  OpenMP-parallel over pixel chunks.
 Tensor conv1x1_int8(const Tensor& x, const Int8Conv1x1& layer, bool relu,
                     const Tensor* add = nullptr);
+
+// Full 3x3 conv (pad 1, any stride) on a layer packed with
+// pack_int8_conv3x3: the whole input is quantised once, output pixels
+// gather their 9-tap u8 rows (OOB taps filled with the zero-point byte
+// 128, which the column-sum correction cancels exactly) and run through
+// the shared GEMM.
+Tensor conv3x3_int8(const Tensor& x, const Int8Conv1x1& layer, int stride,
+                    bool relu);
 
 }  // namespace yf

@@ -56,7 +56,7 @@ class YoloFastestNet {
   bool is_lite() const { return is_lite_; }
 
   // Number of layers executing with int8 arithmetic (0 = pure fp32).
-  int int8_layer_count() const { return (int)int8_.size(); }
+  int int8_layer_count() const { return (int)(int8_.size() + int8_3x3_.size()); }
 
  private:
   Tensor conv(const Tensor& x, const std::string& name, int stride = 1,
@@ -68,7 +68,8 @@ class YoloFastestNet {
   void build_int8_layers();
 
   Weights w_;
-  std::map<std::string, Int8Conv1x1> int8_;
+  std::map<std::string, Int8Conv1x1> int8_;       // 1x1 convs
+  std::map<std::string, Int8Conv1x1> int8_3x3_;   // full 3x3 convs (im2row)
   bool is_lite_ = false;
 };
 

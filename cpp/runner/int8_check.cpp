@@ -80,6 +80,69 @@ int check_case(int H, int W, int cin, int cout, bool relu, bool residual,
   return 0;
 }
 
+int check_conv3x3(int H, int W, int cin, int cout, int stride, bool relu,
+                  float sx) {
+  yf::NamedTensor kq, ws, bias;
+  kq.shape = {3, 3, (uint32_t)cin, (uint32_t)cout};
+  kq.is_f32 = false;
+  kq.i8.resize((size_t)9 * cin * cout);
+  for (auto& v : kq.i8) v = (int8_t)(randi(255) - 127);
+  ws.shape = {(uint32_t)cout};
+  ws.f32.resize(cout);
+  for (auto& v : ws.f32) v = randf(1e-4f, 2e-2f);
+  bias.shape = {(uint32_t)cout};
+  bias.f32.resize(cout);
+  for (auto& v : bias.f32) v = randf(-1.0f, 1.0f);
+
+  yf::Tensor x(H, W, cin);
+  for (auto& v : x.data) v = randf(-4.0f, 4.0f);
+
+  const yf::Int8Conv1x1 L = yf::pack_int8_conv3x3(kq, ws, bias, sx);
+  const yf::Tensor got = yf::conv3x3_int8(x, L, stride, relu);
+
+  const int oh = (H + 2 - 3) / stride + 1, ow = (W + 2 - 3) / stride + 1;
+  if (got.h != oh || got.w != ow || got.c != cout) {
+    std::fprintf(stderr, "conv3x3 shape mismatch\n");
+    return 1;
+  }
+  // exact reference: quantise, accumulate in-bounds taps in int64, same
+  // epilogue (OOB taps contribute 0 by construction — verified implicitly:
+  // a bug in the 128-fill would shift every border value)
+  const float inv_sx = 1.0f / sx;
+  std::vector<int> q((size_t)H * W * cin);
+  for (size_t i = 0; i < q.size(); ++i) {
+    int v = (int)lrintf(x.data[i] * inv_sx);
+    q[i] = v < -127 ? -127 : (v > 127 ? 127 : v);
+  }
+  for (int oy = 0; oy < oh; ++oy)
+    for (int ox = 0; ox < ow; ++ox)
+      for (int o = 0; o < cout; ++o) {
+        long long acc = 0;
+        for (int dy = 0; dy < 3; ++dy) {
+          const int iy = oy * stride - 1 + dy;
+          if (iy < 0 || iy >= H) continue;
+          for (int dx = 0; dx < 3; ++dx) {
+            const int ix = ox * stride - 1 + dx;
+            if (ix < 0 || ix >= W) continue;
+            for (int c = 0; c < cin; ++c)
+              acc += (long long)q[((size_t)iy * W + ix) * cin + c] *
+                     kq.i8[(((size_t)dy * 3 + dx) * cin + c) * cout + o];
+          }
+        }
+        float f = std::fma((float)acc, sx * ws.f32[o], bias.f32[o]);
+        if (relu) f = std::max(f, 0.0f);
+        const float g = got.data[((size_t)oy * ow + ox) * cout + o];
+        if (std::memcmp(&f, &g, sizeof(float)) != 0) {
+          std::fprintf(stderr,
+                       "3x3 MISMATCH H=%d W=%d cin=%d cout=%d s=%d oy=%d "
+                       "ox=%d o=%d want=%.9g got=%.9g\n",
+                       H, W, cin, cout, stride, oy, ox, o, f, g);
+          return 1;
+        }
+      }
+  return 0;
+}
+
 }  // namespace
 
 int main() {
@@ -101,6 +164,18 @@ int main() {
       for (int res = 0; res < 2; ++res)
         for (float sx : {0.02f, 0.5f})  // 0.02 drives values into clipping
           bad += check_case(c.H, c.W, c.cin, c.cout, relu, res, sx);
+
+  // full 3x3 im2row path: the network's conv1_9 shape + border/stride/
+  // tap-pad edge cases
+  struct C3 { int H, W, cin, cout, stride; };
+  const C3 cases3[] = {
+      {128, 160, 24, 24, 2}, {16, 20, 24, 24, 1}, {7, 9, 8, 16, 1},
+      {6, 6, 9, 8, 2},       {3, 3, 8, 8, 1},     {5, 4, 11, 5, 2},
+  };
+  for (const auto& c : cases3)
+    for (int relu = 0; relu < 2; ++relu)
+      for (float sx : {0.02f, 0.5f})
+        bad += check_conv3x3(c.H, c.W, c.cin, c.cout, c.stride, relu, sx);
   if (bad) return 1;
   std::printf("INT8_CHECK_OK\n");
   return 0;

@@ -90,23 +90,39 @@ void YoloFastestNet::build_int8_layers() {
   if (env && env[0] == '0') return;
   for (const auto& [key, t] : w_) {
     const auto pos = key.rfind("/kernel_q");
-    if (pos == std::string::npos || t.is_f32) continue;
-    if (t.shape.size() != 4 || t.shape[0] != 1 || t.shape[1] != 1) continue;
+    if (pos == std::string::npos || t.is_f32 || t.shape.size() != 4) continue;
     const std::string layer = key.substr(0, pos);
     auto sc = w_.find(layer + "/act_scale");
     if (sc == w_.end() || sc->second.f32.empty()) continue;
-    int8_.emplace(layer,
-                  pack_int8_conv1x1(t, w_.at(layer + "/w_scale"),
-                                    w_.at(layer + "/bias"), sc->second.f32[0]));
+    const float s = sc->second.f32[0];
+    if (t.shape[0] == 1 && t.shape[1] == 1) {
+      int8_.emplace(layer, pack_int8_conv1x1(t, w_.at(layer + "/w_scale"),
+                                             w_.at(layer + "/bias"), s));
+    } else if (t.shape[0] == 3 && t.shape[1] == 3 && t.shape[2] >= 8) {
+      // full 3x3 convs (not depthwise: shape[2] is the true Cin) run as
+      // im2row VNNI GEMMs; the cin>=8 floor skips conv0 (cin 1, already
+      // cheap via the fp32 intrinsic tile — gather overhead would dominate)
+      int8_3x3_.emplace(layer, pack_int8_conv3x3(t, w_.at(layer + "/w_scale"),
+                                                 w_.at(layer + "/bias"), s));
+    }
   }
 }
 
 Tensor YoloFastestNet::conv(const Tensor& x, const std::string& name, int stride,
                             bool depthwise, bool relu) const {
   ScopedTimer t(name);
-  if (!depthwise && stride == 1) {
-    auto it = int8_.find(name);
-    if (it != int8_.end()) return conv1x1_int8(x, it->second, relu);
+  if (!depthwise) {
+    if (stride == 1) {
+      auto it = int8_.find(name);
+      if (it != int8_.end()) return conv1x1_int8(x, it->second, relu);
+    }
+    auto it3 = int8_3x3_.find(name);
+    // Measured crossover: the im2row VNNI path wins at <= ~8k output
+    // pixels (the 256x320 net's conv1_9) but loses to the fp32 register
+    // tile at 4x the pixels (512x640) where the quantised input spills L2.
+    if (it3 != int8_3x3_.end() &&
+        (x.h / stride) * (x.w / stride) <= 8192)
+      return conv3x3_int8(x, it3->second, stride, relu);
   }
   return conv2d(x, get(w_, name + "/kernel"), get(w_, name + "/bias"),
                 stride, depthwise, relu);

@@ -72,6 +72,22 @@ Int8Conv1x1 pack_int8_conv1x1(const NamedTensor& kernel_q,
   return L;
 }
 
+Int8Conv1x1 pack_int8_conv3x3(const NamedTensor& kernel_q,
+                              const NamedTensor& w_scale,
+                              const NamedTensor& bias, float act_scale) {
+  if (kernel_q.shape.size() != 4 || kernel_q.shape[0] != 3 ||
+      kernel_q.shape[1] != 3 || kernel_q.is_f32)
+    throw std::runtime_error("pack_int8_conv3x3: need a (3,3,Cin,Cout) int8 kernel");
+  // Re-express as a (1,1,9*Cin,Cout) kernel: HWIO already stores taps in
+  // ascending (dy,dx,c) row-major order, exactly the order conv3x3_int8
+  // gathers input rows in — so the flatten is a pure reinterpretation.
+  NamedTensor flat;
+  flat.shape = {1, 1, 9 * kernel_q.shape[2], kernel_q.shape[3]};
+  flat.is_f32 = false;
+  flat.i8 = kernel_q.i8;
+  return pack_int8_conv1x1(flat, w_scale, bias, act_scale);
+}
+
 namespace {
 
 constexpr int MB = 8;  // pixels per GEMM block (8 dpbusd chains)
@@ -211,6 +227,85 @@ Kernels pick_kernels() {
 }
 
 }  // namespace
+
+namespace {
+// Small-run copy that inlines to word moves: the im2row gather issues three
+// ~cin-byte copies per output pixel, and a libc memcpy CALL per copy
+// measured ~2x the whole conv at the larger resolutions.
+inline void copy_bytes(uint8_t* __restrict dst, const uint8_t* __restrict src,
+                       int n) {
+  int i = 0;
+  for (; i + 8 <= n; i += 8) std::memcpy(dst + i, src + i, 8);  // one mov
+  for (; i < n; ++i) dst[i] = src[i];
+}
+}  // namespace
+
+Tensor conv3x3_int8(const Tensor& x, const Int8Conv1x1& L, int stride,
+                    bool relu) {
+  const int cin = L.cin / 9;
+  if (L.cin != 9 * cin || x.c != cin)
+    throw std::runtime_error("conv3x3_int8: channel mismatch");
+  if (L.cin4 > 512)
+    throw std::runtime_error("conv3x3_int8: tap vector too large");
+  static const Kernels k = pick_kernels();
+  const int oh = (x.h + 2 - 3) / stride + 1;
+  const int ow = (x.w + 2 - 3) / stride + 1;
+  Tensor out(oh, ow, L.cout);
+  const float inv_sx = 1.0f / L.sx;
+  const int row3 = 3 * cin;
+
+  // one quantisation pass over the whole input (no per-pixel padding:
+  // cin4 == cin here)
+  std::vector<uint8_t> xq_full((size_t)x.h * x.w * cin);
+  const int N = x.h * x.w;
+  constexpr int QCHUNK = 4096;
+#pragma omp parallel for schedule(static)
+  for (int n0 = 0; n0 < N; n0 += QCHUNK) {
+    const int nb = std::min(QCHUNK, N - n0);
+    k.quant(x.data.data() + (size_t)n0 * cin, nb, cin, cin, inv_sx,
+            xq_full.data() + (size_t)n0 * cin);
+  }
+
+  // im2row gather per MB-pixel block: each pixel's GEMM row is its 9 taps
+  // in (dy,dx,c) order; OOB taps take the zero-point byte 128, which the
+  // column-sum correction cancels exactly (contribution 0).
+#pragma omp parallel for schedule(static)
+  for (int oy = 0; oy < oh; ++oy) {
+    alignas(64) uint8_t rows[MB * 512];
+    float* orow = out.at(oy, 0);
+    const int iy0 = oy * stride - 1;
+    for (int ox0 = 0; ox0 < ow; ox0 += MB) {
+      const int mb = std::min(MB, ow - ox0);
+      for (int m = 0; m < mb; ++m) {
+        uint8_t* rp = rows + (size_t)m * L.cin4;
+        const int ix0 = (ox0 + m) * stride - 1;
+        for (int dy = 0; dy < 3; ++dy) {
+          const int iy = iy0 + dy;
+          uint8_t* dst = rp + (size_t)dy * row3;
+          if (iy < 0 || iy >= x.h) {
+            std::memset(dst, 128, row3);
+            continue;
+          }
+          const uint8_t* src = xq_full.data() + (size_t)iy * x.w * cin;
+          if (ix0 >= 0 && ix0 + 3 <= x.w) {  // interior: one contiguous copy
+            copy_bytes(dst, src + (size_t)ix0 * cin, row3);
+          } else {
+            for (int dx = 0; dx < 3; ++dx) {
+              const int ix = ix0 + dx;
+              if (ix < 0 || ix >= x.w)
+                std::memset(dst + (size_t)dx * cin, 128, cin);
+              else
+                copy_bytes(dst + (size_t)dx * cin, src + (size_t)ix * cin, cin);
+            }
+          }
+        }
+        std::memset(rp + 9 * cin, 128, L.cin4 - 9 * cin);  // tap pad
+      }
+      k.gemm(rows, mb, L, relu, nullptr, orow + (size_t)ox0 * L.cout);
+    }
+  }
+  return out;
+}
 
 Tensor conv1x1_int8(const Tensor& x, const Int8Conv1x1& L, bool relu,
                     const Tensor* add) {
