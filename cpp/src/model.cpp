@@ -88,6 +88,11 @@ void YoloFastestNet::build_int8_layers() {
   // Int8Executor).  YF_INT8=0 disables for fp32 A/B comparisons.
   const char* env = std::getenv("YF_INT8");
   if (env && env[0] == '0') return;
+  // Without the VNNI kernels the scalar int8 GEMM would be a large, silent
+  // regression vs the tuned fp32 AVX2 tiles — require the fast path unless
+  // the user forces scalar int8 with YF_INT8=1 (A/B and portability
+  // testing; results are identical either way).
+  if (!cpu_supports_int8_fast() && !(env && env[0] == '1')) return;
   for (const auto& [key, t] : w_) {
     const auto pos = key.rfind("/kernel_q");
     if (pos == std::string::npos || t.is_f32 || t.shape.size() != 4) continue;
@@ -95,10 +100,13 @@ void YoloFastestNet::build_int8_layers() {
     auto sc = w_.find(layer + "/act_scale");
     if (sc == w_.end() || sc->second.f32.empty()) continue;
     const float s = sc->second.f32[0];
-    if (t.shape[0] == 1 && t.shape[1] == 1) {
+    if (t.shape[0] == 1 && t.shape[1] == 1 && (int)t.shape[2] <= 512) {
+      // cin bound = the int8 kernels' quantisation-buffer size; wider
+      // layers keep the fp32 path (dequantize_int8_weights covers them)
       int8_.emplace(layer, pack_int8_conv1x1(t, w_.at(layer + "/w_scale"),
                                              w_.at(layer + "/bias"), s));
-    } else if (t.shape[0] == 3 && t.shape[1] == 3 && t.shape[2] >= 8) {
+    } else if (t.shape[0] == 3 && t.shape[1] == 3 && t.shape[2] >= 8 &&
+               9 * (int)t.shape[2] <= 512) {
       // full 3x3 convs (not depthwise: shape[2] is the true Cin) run as
       // im2row VNNI GEMMs; the cin>=8 floor skips conv0 (cin 1, already
       // cheap via the fp32 intrinsic tile — gather overhead would dominate)

@@ -432,6 +432,8 @@ Tensor fused_res_block(const Tensor& x, const NamedTensor& k1,
       b1.f32.size() != (size_t)cmid || b2.f32.size() != (size_t)cmid ||
       b3.f32.size() != (size_t)cout)
     throw std::runtime_error("fused_res_block shape mismatch");
+  if (cmid > 256 || cout > 256)  // bound of pw_block's runtime tile
+    throw std::runtime_error("fused_res_block: channels > 256 unsupported");
   Tensor out(x.h, W, cout);
   const float* kw1 = k1.f32.data();
   const float* kw2 = k2.f32.data();

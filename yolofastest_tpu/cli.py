@@ -43,6 +43,23 @@ def _load_weights(path: str):
     return load_variables(path)
 
 
+def _load_calibration(data_dir: str, io, k: int = 8):
+    """First ``k`` images of a directory as one net-input batch (the int8
+    calibration recipe shared by detect/export), or ``None`` after a
+    printed message when the directory holds no readable images."""
+    import numpy as np
+
+    from yolofastest_tpu.inference.detector import load_net_input
+
+    names = sorted(f for f in os.listdir(data_dir)
+                   if f.lower().endswith((".jpg", ".png", ".bmp")))[:k]
+    if not names:
+        print(f"no calibration images (.jpg/.png/.bmp) in {data_dir}")
+        return None
+    return np.concatenate([load_net_input(os.path.join(data_dir, n), io)[0]
+                           for n in names])
+
+
 def cmd_detect(args) -> int:
     from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.utils.logging import config_logger
@@ -69,18 +86,11 @@ def cmd_detect(args) -> int:
             # int8-arithmetic C++ engine: quantised weights + activation
             # scales calibrated on the first target images (the same
             # static-quantisation recipe as the jax int8 backends)
-            from yolofastest_tpu.inference.detector import load_net_input
             from yolofastest_tpu.quant import calibrate, quantize_weights
 
-            names8 = sorted(f for f in os.listdir(args.data)
-                            if f.lower().endswith((".jpg", ".png", ".bmp")))[:8]
-            if not names8:
-                print(f"no calibration images (.jpg/.png/.bmp) in {args.data}")
+            cal = _load_calibration(args.data, cfg.io)
+            if cal is None:
                 return 2
-            cal = np.concatenate(
-                [load_net_input(os.path.join(args.data, n), cfg.io)[0]
-                 for n in names8]
-            )
             scales = calibrate(folded, [cal], arch=args.arch)
             save_native_weights(quantize_weights(folded), yfb,
                                 act_scales=scales)
@@ -121,24 +131,13 @@ def cmd_detect(args) -> int:
     if backend in ("int8", "int8-fused"):
         # Calibration scales are cached next to the weights; recomputed from
         # the first few target images only when no cache exists yet.
-        import numpy as np
-
-        from yolofastest_tpu.inference.detector import load_net_input
-
         cache = args.calibration_cache or (
             os.path.splitext(args.weights)[0] + ".calib.json"
         )
         if not os.path.exists(cache):
-            # same extension set batch_detect accepts
-            names = sorted(f for f in os.listdir(args.data)
-                           if f.lower().endswith((".jpg", ".png", ".bmp")))[:8]
-            if not names:
-                print(f"no calibration images (.jpg/.png/.bmp) in {args.data}")
+            calibration = _load_calibration(args.data, cfg.io)
+            if calibration is None:
                 return 2
-            calibration = np.concatenate(
-                [load_net_input(os.path.join(args.data, n), cfg.io)[0]
-                 for n in names]
-            )
 
     detector = Detector(cfg, variables=variables, logger=logger,
                         fold_bn=args.fold_bn, backend=backend,
@@ -273,18 +272,13 @@ def cmd_export(args) -> int:
     cal = None
     act_scales = None
     if args.calib_data:
-        import numpy as np
-
-        from yolofastest_tpu.inference.detector import load_net_input
         from yolofastest_tpu.quant import calibrate
 
-        names = sorted(f for f in os.listdir(args.calib_data)
-                       if f.lower().endswith(".jpg"))[:8]
-        cal = np.concatenate(
-            [load_net_input(os.path.join(args.calib_data, n), cfg.io)[0]
-             for n in names]
-        )
-        act_scales = calibrate(folded, [cal], arch=arch)
+        # a missing/empty calib dir skips the int8 extras but must not
+        # abort the main artifacts below
+        cal = _load_calibration(args.calib_data, cfg.io)
+        if cal is not None:
+            act_scales = calibrate(folded, [cal], arch=arch)
 
     save_native_weights(folded, os.path.join(args.out, "model.yfb"))
     print("wrote", os.path.join(args.out, "model.yfb"))
