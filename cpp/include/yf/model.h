@@ -46,6 +46,11 @@ class YoloFastestNet {
     // Lite (single-head) .yfb files carry no head_4 branch; the engine
     // walks the matching topology (models/graph.py walk_topology_lite).
     is_lite_ = w_.find("head_4/kernel") == w_.end();
+    // Eager validation: a 32x32 dry forward exercises every layer of the
+    // topology walk, so a .yfb with missing or mis-shaped weights fails at
+    // load (yf_create -> null handle) instead of at first inference.
+    Tensor dummy(32, 32, 1), hl, hs;
+    forward(dummy, hl, hs);
   }
 
   // img: (h, w, 1) normalized floats. Outputs raw head logits,

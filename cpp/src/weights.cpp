@@ -36,21 +36,38 @@ Weights load_weights(const std::string& path) {
     uint32_t version = read_u32(f);
     if (version != 1) throw std::runtime_error("yfb: unsupported version");
     uint32_t n = read_u32(f);
+    // Header sanity bounds: a corrupt/adversarial file must fail with a
+    // clean exception BEFORE any large allocation (an unbounded
+    // zero-filling resize can OOM-kill the process rather than throw).
+    // The real model has ~300 entries, names < 40 chars, 4-D tensors.
+    if (n > 100000) throw std::runtime_error("yfb: implausible entry count");
     for (uint32_t i = 0; i < n; ++i) {
       uint32_t name_len = read_u32(f);
+      if (name_len > 4096) throw std::runtime_error("yfb: implausible name length");
       std::string name(name_len, '\0');
       read_exact(f, name.data(), name_len);
       uint32_t dtype = read_u32(f);
       uint32_t ndim = read_u32(f);
+      if (ndim > 8) throw std::runtime_error("yfb: implausible rank");
       NamedTensor t;
       t.shape.resize(ndim);
-      for (uint32_t d = 0; d < ndim; ++d) t.shape[d] = read_u32(f);
+      uint64_t elems = 1;
+      for (uint32_t d = 0; d < ndim; ++d) {
+        t.shape[d] = read_u32(f);
+        elems *= (uint64_t)t.shape[d];
+        if (elems > (1ull << 32)) throw std::runtime_error("yfb: implausible shape");
+      }
       uint64_t nbytes = read_u64(f);
       if (dtype == 0) {
+        // 0-D scalars (act_scale entries) have ndim 0, elems 1.
+        if (nbytes != 4 * elems || nbytes % 4 != 0)
+          throw std::runtime_error("yfb: f32 payload size disagrees with shape");
         t.is_f32 = true;
         t.f32.resize(nbytes / 4);
         read_exact(f, t.f32.data(), nbytes);
       } else if (dtype == 1) {
+        if (nbytes != elems)
+          throw std::runtime_error("yfb: int8 payload size disagrees with shape");
         t.is_f32 = false;
         t.i8.resize(nbytes);
         read_exact(f, t.i8.data(), nbytes);
