@@ -6,6 +6,7 @@ block edited in place (``detect.py:196-203``, ``main.cpp:10-13``,
 Here one typed config (``configs/``) + argparse drive every workflow:
 
   detect    batch-detect a directory (jax | native-C++ | int8 backend)
+  serve     HTTP detection server with dynamic batching (any backend)
   train     full training run with validation + orbax checkpoints
   eval      mAP of a weights file on a VOC dataset
   export    weights -> StableHLO + ONNX + TorchScript + native .yfb (+ int8)
@@ -144,6 +145,82 @@ def cmd_detect(args) -> int:
                         calibration=calibration, calibration_cache=cache,
                         arch=args.arch)
     detector.batch_detect(args.data, args.out, batch_size=args.batch)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """HTTP detection server with dynamic batching (the serving-traffic
+    analogue of the reference's one-image-at-a-time detect loops —
+    ``detect.py:141-192``; see ``inference/server.py``)."""
+    from yolofastest_tpu.configs import get_config
+
+    cfg = get_config(args.config)
+    _check_arch_config(cfg, args.arch)
+    backend = "fp" if args.backend == "jax" else args.backend  # legacy alias
+
+    if backend in ("native", "native-int8"):
+        import tempfile
+
+        from yolofastest_tpu.export import save_native_weights
+        from yolofastest_tpu.models import fold_batchnorm
+        from yolofastest_tpu.native import NativeEngine
+
+        folded = fold_batchnorm(_load_weights(args.weights))
+        yfb = os.path.join(tempfile.mkdtemp(prefix="yf_serve_"), "model.yfb")
+        if backend == "native-int8":
+            from yolofastest_tpu.quant import calibrate, quantize_weights
+
+            if not args.calib_data:
+                print("--calib-data is required for --backend native-int8",
+                      file=sys.stderr)
+                return 2
+            cal = _load_calibration(args.calib_data, cfg.io)
+            if cal is None:
+                return 2
+            save_native_weights(quantize_weights(folded), yfb,
+                                act_scales=calibrate(folded, [cal],
+                                                     arch=args.arch))
+        else:
+            save_native_weights(folded, yfb)
+        engine = NativeEngine(yfb, cfg)
+    else:
+        from yolofastest_tpu.inference import Detector
+
+        calibration = None
+        cache = None
+        if backend in ("int8", "int8-fused"):
+            cache = args.calibration_cache or (
+                os.path.splitext(args.weights)[0] + ".calib.json"
+            )
+            if not os.path.exists(cache):
+                if not args.calib_data:
+                    print("--calib-data is required to calibrate int8 "
+                          "backends (no cache at %s)" % cache, file=sys.stderr)
+                    return 2
+                calibration = _load_calibration(args.calib_data, cfg.io)
+                if calibration is None:
+                    return 2
+        engine = Detector(cfg, variables=_load_weights(args.weights),
+                          fold_bn=True, backend=backend,
+                          calibration=calibration, calibration_cache=cache,
+                          arch=args.arch)
+
+    from yolofastest_tpu.inference import (DetectionServer, DynamicBatcher,
+                                           make_batch_fn)
+
+    batcher = DynamicBatcher(make_batch_fn(engine), cfg.io.input_hw,
+                             max_batch=args.max_batch,
+                             window_ms=args.window_ms)
+    server = DetectionServer(batcher, cfg, host=args.host, port=args.port,
+                             arch=args.arch, backend=backend)
+    print(f"serving on http://{args.host}:{server.port} "
+          "(POST /detect, GET /healthz, GET /stats)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
     return 0
 
 
@@ -364,6 +441,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
     d.set_defaults(fn=cmd_detect)
+
+    s = sub.add_parser("serve",
+                       help="HTTP detection server with dynamic batching")
+    s.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
+    s.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
+    s.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
+    s.add_argument("--backend", default="fp",
+                   choices=["fp", "jax", "native", "native-int8", "int8",
+                            "int8-fused"],
+                   help="fp (BN-folded jax) is the TPU serving path; "
+                        "native/native-int8 serve through the C++ engine")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=8000,
+                   help="TCP port (0 = pick a free one, printed at start)")
+    s.add_argument("--max-batch", type=int, default=8,
+                   help="device batch capacity; concurrent requests coalesce "
+                        "up to this many per dispatch")
+    s.add_argument("--window-ms", type=float, default=5.0,
+                   help="how long to wait for co-arriving requests after the "
+                        "first (idle-latency floor)")
+    s.add_argument("--calib-data", default=None,
+                   help="calibration image dir for the int8 backends")
+    s.add_argument("--calibration-cache", default=None,
+                   help="JSON file for int8 activation scales (default: "
+                        "<weights>.calib.json)")
+    s.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("train", help="train on a VOC-XML dataset")
     t.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])

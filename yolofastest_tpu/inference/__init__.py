@@ -1,4 +1,13 @@
 from yolofastest_tpu.inference.detector import Detector, detections_to_lists
+from yolofastest_tpu.inference.server import (DetectionServer, DynamicBatcher,
+                                              make_batch_fn)
 from yolofastest_tpu.inference.streaming import StreamingDetector
 
-__all__ = ["Detector", "StreamingDetector", "detections_to_lists"]
+__all__ = [
+    "Detector",
+    "StreamingDetector",
+    "detections_to_lists",
+    "DynamicBatcher",
+    "DetectionServer",
+    "make_batch_fn",
+]
