@@ -55,7 +55,10 @@ Weights load_weights(const std::string& path) {
       for (uint32_t d = 0; d < ndim; ++d) {
         t.shape[d] = read_u32(f);
         elems *= (uint64_t)t.shape[d];
-        if (elems > (1ull << 32)) throw std::runtime_error("yfb: implausible shape");
+        // 2^26 elems = 256 MB f32 — ~1000x the real model's largest tensor,
+        // but small enough that the zero-filling resize below cannot OOM the
+        // host before read_exact catches the (inevitably) truncated payload.
+        if (elems > (1ull << 26)) throw std::runtime_error("yfb: implausible shape");
       }
       uint64_t nbytes = read_u64(f);
       if (dtype == 0) {

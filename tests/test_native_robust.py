@@ -105,6 +105,16 @@ def test_huge_declared_payload(tmp_path):
     _expect_load_failure(tmp_path, b"YFWB" + struct.pack("<II", 1, 1) + bad)
 
 
+def test_consistent_but_huge_shape(tmp_path):
+    # A ~60-byte file declaring a (65536, 65536) f32 tensor with a CONSISTENT
+    # nbytes (16 GiB): the elems bound must reject it before the zero-filling
+    # resize can OOM the process (the payload itself is absent).
+    bad = (struct.pack("<I", 1) + b"k" + struct.pack("<II", 0, 2)
+           + struct.pack("<II", 65536, 65536)
+           + struct.pack("<Q", 4 * (1 << 32)))
+    _expect_load_failure(tmp_path, b"YFWB" + struct.pack("<II", 1, 1) + bad)
+
+
 def test_implausible_shape_product(tmp_path):
     # dims whose product overflows the 2^32 element bound
     bad = (struct.pack("<I", 1) + b"k" + struct.pack("<II", 0, 4)

@@ -91,9 +91,9 @@ def test_batcher_matches_plain_detector_and_coalesces(detector):
         batcher.close()
 
 
-def test_batcher_rejects_wrong_shape(detector):
-    det, cfg = detector
-    batcher = DynamicBatcher(make_batch_fn(det), cfg.io.input_hw,
+def test_batcher_rejects_wrong_shape():
+    # stub batch_fn: shape validation needs no device (and no jit compile)
+    batcher = DynamicBatcher(lambda batch, n: [[]] * n, (32, 32),
                              max_batch=1, window_ms=1.0)
     try:
         with pytest.raises(ValueError, match="expected net input"):
@@ -102,13 +102,30 @@ def test_batcher_rejects_wrong_shape(detector):
         batcher.close()
 
 
+def test_batcher_native_fn_sees_only_valid_rows():
+    # the per-image (native) adapter contract: padding rows must never be
+    # processed — the batch_fn receives n and slices
+    seen = []
+
+    def fn(batch, n):
+        seen.append(n)
+        return [[] for _ in batch[:n]]
+
+    batcher = DynamicBatcher(fn, (32, 32), max_batch=8, window_ms=1.0)
+    try:
+        batcher.submit(np.zeros((32, 32, 1), np.float32))
+        assert seen == [1, 1]  # warmup + the single request, never 8
+    finally:
+        batcher.close()
+
+
 def test_batcher_surfaces_batch_fn_errors():
     calls = {"n": 0}
 
-    def boom(batch):
+    def boom(batch, n):
         calls["n"] += 1
         if calls["n"] == 1:  # warmup call must succeed
-            return [[] for _ in batch]
+            return [[] for _ in batch[:n]]
         raise RuntimeError("device fell over")
 
     batcher = DynamicBatcher(boom, (32, 32), max_batch=2, window_ms=1.0)

@@ -61,6 +61,57 @@ def _load_calibration(data_dir: str, io, k: int = 8):
                            for n in names])
 
 
+def _int8_cache_path(args) -> str:
+    return args.calibration_cache or (
+        os.path.splitext(args.weights)[0] + ".calib.json"
+    )
+
+
+def _resolve_jax_int8_calibration(args, cfg, data_dir):
+    """Cache-or-calibrate resolution for the jax int8 backends, shared by
+    detect/serve.  Returns ``(calibration_batch_or_None, cache_path)`` for
+    ``Detector(...)`` — calibration is None on a cache hit (the Detector
+    loads the file) — or ``None`` after a printed message on error."""
+    cache = _int8_cache_path(args)
+    if os.path.exists(cache):
+        return None, cache
+    if not data_dir:
+        print("int8 calibration needs images: pass --calib-data (or reuse "
+              f"an existing cache at {cache})", file=sys.stderr)
+        return None
+    cal = _load_calibration(data_dir, cfg.io)
+    if cal is None:
+        return None
+    return cal, cache
+
+
+def _native_int8_scales(args, cfg, folded, data_dir):
+    """Activation scales for the native int8 engine, honoring the SAME
+    cache file as the jax int8 backends (so one calibration serves every
+    backend).  Calibrates from ``data_dir`` images on a cache miss and
+    writes the cache; returns ``None`` after a printed message on error."""
+    import json
+
+    from yolofastest_tpu.quant import calibrate
+
+    cache = _int8_cache_path(args)
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return {k: float(v) for k, v in json.load(f).items()}
+    if not data_dir:
+        print("native-int8 calibration needs images: pass a data/--calib-data "
+              f"directory (or reuse an existing cache at {cache})",
+              file=sys.stderr)
+        return None
+    cal = _load_calibration(data_dir, cfg.io)
+    if cal is None:
+        return None
+    scales = calibrate(folded, [cal], arch=args.arch)
+    with open(cache, "w") as f:
+        json.dump(scales, f, indent=1)
+    return scales
+
+
 def cmd_detect(args) -> int:
     from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.utils.logging import config_logger
@@ -74,7 +125,6 @@ def cmd_detect(args) -> int:
         import time
 
         import cv2
-        import numpy as np
 
         from yolofastest_tpu.export import save_native_weights
         from yolofastest_tpu.models import fold_batchnorm
@@ -85,14 +135,14 @@ def cmd_detect(args) -> int:
         yfb = os.path.join(args.out, "model.yfb")
         if args.backend == "native-int8":
             # int8-arithmetic C++ engine: quantised weights + activation
-            # scales calibrated on the first target images (the same
+            # scales from the shared calibration cache (calibrated on the
+            # first target images on a cache miss — the same
             # static-quantisation recipe as the jax int8 backends)
-            from yolofastest_tpu.quant import calibrate, quantize_weights
+            from yolofastest_tpu.quant import quantize_weights
 
-            cal = _load_calibration(args.data, cfg.io)
-            if cal is None:
+            scales = _native_int8_scales(args, cfg, folded, args.data)
+            if scales is None:
                 return 2
-            scales = calibrate(folded, [cal], arch=args.arch)
             save_native_weights(quantize_weights(folded), yfb,
                                 act_scales=scales)
         else:
@@ -101,12 +151,11 @@ def cmd_detect(args) -> int:
         io = cfg.io
         names = sorted(f for f in os.listdir(args.data) if f.lower().endswith(".jpg"))
         avg = 0.0
+        from yolofastest_tpu.inference.detector import image_to_net_input
+
         for fn in names:
             ori = cv2.imread(os.path.join(args.data, fn))
-            gray = cv2.cvtColor(ori, cv2.COLOR_BGR2GRAY)
-            if gray.shape[:2] != io.input_hw:
-                gray = cv2.resize(gray, (io.input_hw[1], io.input_hw[0]))
-            img = (gray.astype(np.float32) - 128.0) / 255.0
+            img = image_to_net_input(ori, io)[..., 0]
             t0 = time.time()
             rows = eng.detect(img)
             total = (time.time() - t0) * 1e3
@@ -132,13 +181,10 @@ def cmd_detect(args) -> int:
     if backend in ("int8", "int8-fused"):
         # Calibration scales are cached next to the weights; recomputed from
         # the first few target images only when no cache exists yet.
-        cache = args.calibration_cache or (
-            os.path.splitext(args.weights)[0] + ".calib.json"
-        )
-        if not os.path.exists(cache):
-            calibration = _load_calibration(args.data, cfg.io)
-            if calibration is None:
-                return 2
+        resolved = _resolve_jax_int8_calibration(args, cfg, args.data)
+        if resolved is None:
+            return 2
+        calibration, cache = resolved
 
     detector = Detector(cfg, variables=variables, logger=logger,
                         fold_bn=args.fold_bn, backend=backend,
@@ -166,40 +212,34 @@ def cmd_serve(args) -> int:
         from yolofastest_tpu.native import NativeEngine
 
         folded = fold_batchnorm(_load_weights(args.weights))
-        yfb = os.path.join(tempfile.mkdtemp(prefix="yf_serve_"), "model.yfb")
-        if backend == "native-int8":
-            from yolofastest_tpu.quant import calibrate, quantize_weights
+        # The engine loads everything into memory at construction, so the
+        # .yfb staging file can be deleted immediately (no /tmp litter
+        # across server restarts).
+        with tempfile.TemporaryDirectory(prefix="yf_serve_") as td:
+            yfb = os.path.join(td, "model.yfb")
+            if backend == "native-int8":
+                from yolofastest_tpu.quant import quantize_weights
 
-            if not args.calib_data:
-                print("--calib-data is required for --backend native-int8",
-                      file=sys.stderr)
-                return 2
-            cal = _load_calibration(args.calib_data, cfg.io)
-            if cal is None:
-                return 2
-            save_native_weights(quantize_weights(folded), yfb,
-                                act_scales=calibrate(folded, [cal],
-                                                     arch=args.arch))
-        else:
-            save_native_weights(folded, yfb)
-        engine = NativeEngine(yfb, cfg)
+                scales = _native_int8_scales(args, cfg, folded,
+                                             args.calib_data)
+                if scales is None:
+                    return 2
+                save_native_weights(quantize_weights(folded), yfb,
+                                    act_scales=scales)
+            else:
+                save_native_weights(folded, yfb)
+            engine = NativeEngine(yfb, cfg)
     else:
         from yolofastest_tpu.inference import Detector
 
         calibration = None
         cache = None
         if backend in ("int8", "int8-fused"):
-            cache = args.calibration_cache or (
-                os.path.splitext(args.weights)[0] + ".calib.json"
-            )
-            if not os.path.exists(cache):
-                if not args.calib_data:
-                    print("--calib-data is required to calibrate int8 "
-                          "backends (no cache at %s)" % cache, file=sys.stderr)
-                    return 2
-                calibration = _load_calibration(args.calib_data, cfg.io)
-                if calibration is None:
-                    return 2
+            resolved = _resolve_jax_int8_calibration(args, cfg,
+                                                     args.calib_data)
+            if resolved is None:
+                return 2
+            calibration, cache = resolved
         engine = Detector(cfg, variables=_load_weights(args.weights),
                           fold_bn=True, backend=backend,
                           calibration=calibration, calibration_cache=cache,

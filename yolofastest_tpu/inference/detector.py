@@ -323,6 +323,21 @@ def _lite_cls():
     return YoloFastestLite
 
 
+def image_to_net_input(ori: np.ndarray, io) -> np.ndarray:
+    """Decoded image array -> ``(H, W, C)`` float32 net input — the
+    reference-exact preprocess (detect.py:107-129): grayscale iff the config
+    wants one channel, resize to the net shape, ``(x - 128) / 255``.  The
+    ONE host preprocess implementation; detect, serve and the CLI native
+    loop all call it so they cannot drift."""
+    import cv2
+
+    img = cv2.cvtColor(ori, cv2.COLOR_BGR2GRAY) if io.input_channels == 1 else ori
+    if img.shape[:2] != io.input_hw:
+        img = cv2.resize(img, (io.input_hw[1], io.input_hw[0]))
+    net_in = (img.astype(np.float32) - 128.0) / 255.0
+    return net_in[:, :, None] if net_in.ndim == 2 else net_in
+
+
 def load_net_input(img_path: str, io) -> Tuple[np.ndarray, np.ndarray]:
     """Read + reference-exact preprocess one image (detect.py:107-129).
 
@@ -337,11 +352,7 @@ def load_net_input(img_path: str, io) -> Tuple[np.ndarray, np.ndarray]:
         raise FileNotFoundError(
             f"cannot decode image {img_path!r} (cv2.imread returned None)"
         )
-    img = cv2.cvtColor(ori, cv2.COLOR_BGR2GRAY) if io.input_channels == 1 else ori
-    if img.shape[:2] != io.input_hw:
-        img = cv2.resize(img, (io.input_hw[1], io.input_hw[0]))
-    net_in = (img.astype(np.float32) - 128.0) / 255.0
-    return net_in[None, :, :, None], ori
+    return image_to_net_input(ori, io)[None], ori
 
 
 def detections_to_lists(det: Dict[str, np.ndarray]) -> List[List[List[float]]]:

@@ -34,9 +34,18 @@ import numpy as np
 
 from yolofastest_tpu.configs import Config
 
-# batch_fn contract: (B, H, W, 1) float32 net inputs -> per-image lists of
-# [x1, y1, x2, y2, conf, cls_score, cls_idx] rows (net-input coords).
-BatchFn = Callable[[np.ndarray], List[List[List[float]]]]
+# batch_fn contract: ((B, H, W, 1) float32 net inputs, n_valid) -> n_valid
+# per-image lists of [x1, y1, x2, y2, conf, cls_score, cls_idx] rows
+# (net-input coords).  B is always the batcher's max_batch (rows >= n_valid
+# are zero padding): a jitted backend runs the full padded batch (ONE
+# compiled shape) and slices; a per-image backend processes only the first
+# n_valid rows and never pays for the padding.
+BatchFn = Callable[[np.ndarray, int], List[List[List[float]]]]
+
+# POST /detect body cap: encoded camera frames are tens of KB; 32 MB admits
+# any plausible high-res photo while refusing attacker-sized uploads before
+# the read/allocation happens.
+MAX_BODY_BYTES = 32 * 1024 * 1024
 
 
 def make_batch_fn(engine: Any) -> BatchFn:
@@ -48,15 +57,15 @@ def make_batch_fn(engine: Any) -> BatchFn:
         from yolofastest_tpu.inference.detector import detections_to_lists
         from yolofastest_tpu.ops import unpack_detections
 
-        def batch_fn(batch: np.ndarray) -> List[List[List[float]]]:
+        def batch_fn(batch: np.ndarray, n: int) -> List[List[List[float]]]:
             return detections_to_lists(
-                unpack_detections(engine.run_packed(batch)))
+                unpack_detections(engine.run_packed(batch)))[:n]
 
         return batch_fn
     if hasattr(engine, "detect"):
-        def batch_fn(batch: np.ndarray) -> List[List[List[float]]]:
+        def batch_fn(batch: np.ndarray, n: int) -> List[List[List[float]]]:
             return [[list(map(float, row)) for row in engine.detect(img[..., 0])]
-                    for img in batch]
+                    for img in batch[:n]]
 
         return batch_fn
     raise TypeError(f"cannot adapt {type(engine).__name__} to a batch_fn")
@@ -97,7 +106,7 @@ class DynamicBatcher:
         self._stats_mu = threading.Lock()
         # Warm the single compiled shape before accepting traffic, so the
         # first request doesn't pay the compile.
-        self._fn(np.zeros((max_batch, *self._hw, 1), np.float32))
+        self._fn(np.zeros((max_batch, *self._hw, 1), np.float32), 1)
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="yf-batcher")
         self._worker.start()
@@ -149,23 +158,27 @@ class DynamicBatcher:
         batch = np.zeros((self.max_batch, *self._hw, 1), np.float32)
         for i, req in enumerate(items):
             batch[i] = req.net_in
+        failed = False
         try:
-            rows = self._fn(batch)
+            rows = self._fn(batch, len(items))
             for i, req in enumerate(items):
                 req.rows = rows[i]
         except BaseException as e:  # surface to every waiter, keep serving
+            failed = True
             for req in items:
                 req.error = e
-            with self._stats_mu:
-                self.stats["errors"] += 1
-        finally:
-            for req in items:
-                req.done.set()
+        # Counters BEFORE waking the waiters: a submit() that returned (and
+        # anything it triggers, e.g. a follow-up GET /stats) must already see
+        # its own request counted.
         with self._stats_mu:
             self.stats["requests"] += len(items)
             self.stats["batches"] += 1
             self.stats["max_batch_seen"] = max(self.stats["max_batch_seen"],
                                                len(items))
+            if failed:
+                self.stats["errors"] += 1
+        for req in items:
+            req.done.set()
 
 
 # ------------------------------------------------------------------- HTTP
@@ -219,7 +232,10 @@ class DetectionServer:
                                      "class_names": list(io.class_names)})
                 elif self.path == "/stats":
                     with outer.batcher._stats_mu:
-                        self._json(200, dict(outer.batcher.stats))
+                        snapshot = dict(outer.batcher.stats)
+                    # socket writes OUTSIDE the lock: a stalled client must
+                    # not be able to block the batcher worker's stats update
+                    self._json(200, snapshot)
                 else:
                     self._json(404, {"error": "unknown path"})
 
@@ -229,9 +245,18 @@ class DetectionServer:
                     return
                 import cv2
 
-                n = int(self.headers.get("Content-Length", 0))
+                from yolofastest_tpu.inference.detector import image_to_net_input
+
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    self._json(400, {"error": "bad Content-Length"})
+                    return
                 if n <= 0:
                     self._json(400, {"error": "empty body"})
+                    return
+                if n > MAX_BODY_BYTES:  # don't read attacker-sized bodies
+                    self._json(413, {"error": "body too large"})
                     return
                 raw = self.rfile.read(n)
                 ori = cv2.imdecode(np.frombuffer(raw, np.uint8),
@@ -240,10 +265,7 @@ class DetectionServer:
                     self._json(400, {"error": "cannot decode image"})
                     return
                 t0 = time.perf_counter()
-                gray = cv2.cvtColor(ori, cv2.COLOR_BGR2GRAY)
-                if gray.shape[:2] != io.input_hw:
-                    gray = cv2.resize(gray, (io.input_hw[1], io.input_hw[0]))
-                net_in = ((gray.astype(np.float32) - 128.0) / 255.0)[..., None]
+                net_in = image_to_net_input(ori, io)
                 try:
                     rows = outer.batcher.submit(net_in)
                 except TimeoutError:
