@@ -194,16 +194,10 @@ def cmd_detect(args) -> int:
     return 0
 
 
-def cmd_serve(args) -> int:
-    """HTTP detection server with dynamic batching (the serving-traffic
-    analogue of the reference's one-image-at-a-time detect loops —
-    ``detect.py:141-192``; see ``inference/server.py``)."""
-    from yolofastest_tpu.configs import get_config
-
-    cfg = get_config(args.config)
-    _check_arch_config(cfg, args.arch)
-    backend = "fp" if args.backend == "jax" else args.backend  # legacy alias
-
+def _build_engine(args, cfg, backend, calib_data):
+    """Deployment engine for serve/eval: a ``Detector`` (jax fp/int8
+    pipelines) or a ``NativeEngine`` (C++ fp32/int8-VNNI).  Returns ``None``
+    after a printed message on error."""
     if backend in ("native", "native-int8"):
         import tempfile
 
@@ -214,36 +208,48 @@ def cmd_serve(args) -> int:
         folded = fold_batchnorm(_load_weights(args.weights))
         # The engine loads everything into memory at construction, so the
         # .yfb staging file can be deleted immediately (no /tmp litter
-        # across server restarts).
-        with tempfile.TemporaryDirectory(prefix="yf_serve_") as td:
+        # across restarts).
+        with tempfile.TemporaryDirectory(prefix="yf_engine_") as td:
             yfb = os.path.join(td, "model.yfb")
             if backend == "native-int8":
                 from yolofastest_tpu.quant import quantize_weights
 
-                scales = _native_int8_scales(args, cfg, folded,
-                                             args.calib_data)
+                scales = _native_int8_scales(args, cfg, folded, calib_data)
                 if scales is None:
-                    return 2
+                    return None
                 save_native_weights(quantize_weights(folded), yfb,
                                     act_scales=scales)
             else:
                 save_native_weights(folded, yfb)
-            engine = NativeEngine(yfb, cfg)
-    else:
-        from yolofastest_tpu.inference import Detector
+            return NativeEngine(yfb, cfg)
 
-        calibration = None
-        cache = None
-        if backend in ("int8", "int8-fused"):
-            resolved = _resolve_jax_int8_calibration(args, cfg,
-                                                     args.calib_data)
-            if resolved is None:
-                return 2
-            calibration, cache = resolved
-        engine = Detector(cfg, variables=_load_weights(args.weights),
-                          fold_bn=True, backend=backend,
-                          calibration=calibration, calibration_cache=cache,
-                          arch=args.arch)
+    from yolofastest_tpu.inference import Detector
+
+    calibration = None
+    cache = None
+    if backend in ("int8", "int8-fused"):
+        resolved = _resolve_jax_int8_calibration(args, cfg, calib_data)
+        if resolved is None:
+            return None
+        calibration, cache = resolved
+    return Detector(cfg, variables=_load_weights(args.weights),
+                    fold_bn=True, backend=backend,
+                    calibration=calibration, calibration_cache=cache,
+                    arch=args.arch)
+
+
+def cmd_serve(args) -> int:
+    """HTTP detection server with dynamic batching (the serving-traffic
+    analogue of the reference's one-image-at-a-time detect loops —
+    ``detect.py:141-192``; see ``inference/server.py``)."""
+    from yolofastest_tpu.configs import get_config
+
+    cfg = get_config(args.config)
+    _check_arch_config(cfg, args.arch)
+    backend = "fp" if args.backend == "jax" else args.backend  # legacy alias
+    engine = _build_engine(args, cfg, backend, args.calib_data)
+    if engine is None:
+        return 2
 
     from yolofastest_tpu.inference import (DetectionServer, DynamicBatcher,
                                            make_batch_fn)
@@ -354,13 +360,30 @@ def cmd_eval(args) -> int:
     idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
     loader = DetectionLoader(idx, cfg, augment=False, shuffle=False,
                              drop_last=False)
-    evaluator = MAPEvaluator(cfg, loader, logger=logger, arch=args.arch)
-    variables = _load_weights(args.weights)
-    import jax
+    backend = getattr(args, "backend", "train")
+    if backend == "train":
+        # Reference-parity path: the training-loop evaluator (float boxes,
+        # validate.py conventions) on the raw checkpoint.
+        evaluator = MAPEvaluator(cfg, loader, logger=logger, arch=args.arch)
+        import jax
+        import jax.numpy as jnp
 
-    import jax.numpy as jnp
+        variables = jax.tree.map(jnp.asarray, _load_weights(args.weights))
+    else:
+        # Deployment mAP: score what the deployed artifact actually detects
+        # (BN-folded graph, detect-path rounding/NMS) — through the jax
+        # fp/int8 pipelines or the C++ engine.  The reference never scores
+        # its deployed detectors against GT.
+        from yolofastest_tpu.eval import make_backend_eval_fn
 
-    variables = jax.tree.map(jnp.asarray, variables)
+        backend = "fp" if backend == "jax" else backend  # legacy alias
+        engine = _build_engine(args, cfg, backend, args.calib_data)
+        if engine is None:
+            return 2
+        evaluator = MAPEvaluator(
+            cfg, loader, logger=logger, arch=args.arch,
+            eval_fn=make_backend_eval_fn(engine, max_det=cfg.io.max_det))
+        variables = None
     mAP = evaluator(variables, epoch=0)
     print(f"mAP: {mAP:.4f}")
     return 0
@@ -543,6 +566,18 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--weights", required=True)
     e.add_argument("--val-dir", required=True)
     e.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
+    e.add_argument("--backend", default="train",
+                   choices=["train", "fp", "jax", "int8", "int8-fused",
+                            "native", "native-int8"],
+                   help="train (default) = the training-loop evaluator "
+                        "(reference validate.py parity); any other choice "
+                        "scores the DEPLOYED pipeline (BN-folded, detect-"
+                        "path NMS) through that backend")
+    e.add_argument("--calib-data", default=None,
+                   help="calibration image dir for the int8 backends")
+    e.add_argument("--calibration-cache", default=None,
+                   help="JSON file for int8 activation scales (default: "
+                        "<weights>.calib.json)")
     e.add_argument("--log-dir", default="logs")
     e.set_defaults(fn=cmd_eval)
 

@@ -83,6 +83,50 @@ def make_eval_fn(model: YoloFastest, config: Config):
     return eval_fn
 
 
+def make_backend_eval_fn(engine, max_det: int = 64):
+    """Adapt a deployment engine into the ``(variables, imgs) -> det dict``
+    signature :class:`MAPEvaluator` consumes, so the SAME matching/AP code
+    measures mAP *through any deployment backend* — jax fp/int8 pipelines
+    (``Detector``, packed single-transfer path) or the C++ engine
+    (``NativeEngine``, per-image).  The reference can only evaluate mAP
+    through its torch training path (``validate.py``); its deployed ncnn/NPU
+    detectors are never scored against GT.  ``variables`` is ignored — the
+    engine already owns its weights.
+
+    Note the measured quantity differs from the training-path evaluator:
+    deployment detect uses integer box rounding and the detect-path NMS
+    (``detect.py:131-139`` conventions), so this is the mAP a user of the
+    deployed artifact actually gets.
+    """
+    if hasattr(engine, "run_packed"):  # Detector: one device dispatch + D2H
+        from yolofastest_tpu.ops import unpack_detections
+
+        def eval_fn(_variables, imgs):
+            return unpack_detections(engine.run_packed(jnp.asarray(imgs)))
+
+        return eval_fn
+    if hasattr(engine, "detect"):  # NativeEngine: per-image C ABI calls
+        def eval_fn(_variables, imgs):
+            imgs = np.asarray(imgs)
+            n_img = imgs.shape[0]
+            boxes = np.zeros((n_img, max_det, 4), np.float32)
+            conf = np.zeros((n_img, max_det), np.float32)
+            cls_idx = np.zeros((n_img, max_det), np.int32)
+            count = np.zeros((n_img,), np.int32)
+            for b in range(n_img):
+                rows = engine.detect(imgs[b, ..., 0], max_det=max_det)
+                for i, r in enumerate(rows):  # conf-descending (post.cpp sort)
+                    boxes[b, i] = r[0:4]
+                    conf[b, i] = r[4]
+                    cls_idx[b, i] = int(r[6])
+                count[b] = len(rows)
+            return {"boxes": boxes, "conf": conf, "cls_idx": cls_idx,
+                    "count": count}
+
+        return eval_fn
+    raise TypeError(f"cannot adapt {type(engine).__name__} to an eval_fn")
+
+
 def _iou_matrix_p1(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """+1-pixel IOU matrix of (D, 4) vs (G, 4) boxes (utils/general.py:29-52)."""
     a = a.astype(np.float64)  # degenerate early-training boxes overflow f32
@@ -123,10 +167,16 @@ class MAPEvaluator:
     """
 
     def __init__(self, config: Config, loader, model: Optional[YoloFastest] = None,
-                 logger=None, arch: str = "fastest"):
+                 logger=None, arch: str = "fastest", eval_fn=None):
         self.config = config
         self.loader = loader
         self.logger = logger
+        if eval_fn is not None:
+            # Deployment-backend mode (make_backend_eval_fn): the engine owns
+            # its weights, no model is built, __call__ takes variables=None.
+            self.model = model
+            self.eval_fn = eval_fn
+            return
         if model is None:
             if arch == "lite":
                 from yolofastest_tpu.models import YoloFastestLite as _Cls
@@ -158,7 +208,9 @@ class MAPEvaluator:
                     [imgs, np.zeros((pad_to - n_valid, *imgs.shape[1:]),
                                     imgs.dtype)]
                 )
-            det = self.eval_fn(variables, jnp.asarray(imgs))
+            # numpy in: jit converts on dispatch; the native adapter stays
+            # host-side (no pointless H2D/D2H through a remote device)
+            det = self.eval_fn(variables, imgs)
             det = jax.tree.map(np.asarray, det)
 
             for b in range(n_valid):
