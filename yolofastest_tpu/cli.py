@@ -6,6 +6,7 @@ block edited in place (``detect.py:196-203``, ``main.cpp:10-13``,
 Here one typed config (``configs/``) + argparse drive every workflow:
 
   detect    batch-detect a directory (jax | native-C++ | int8 backend)
+  video     video file -> annotated video (any backend, batches in flight)
   serve     HTTP detection server with dynamic batching (any backend)
   train     full training run with validation + orbax checkpoints
   eval      mAP of a weights file on a VOC dataset
@@ -270,6 +271,37 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_video(args) -> int:
+    """Video file -> annotated video, through any deployment backend (the
+    embedded camera-board use case the reference targets but never ships;
+    see ``inference/video.py``)."""
+    import json
+
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.utils.logging import config_logger
+
+    cfg = get_config(args.config)
+    _check_arch_config(cfg, args.arch)
+    os.makedirs(args.out, exist_ok=True)
+    logger = config_logger(args.out, "video_info.log")
+    backend = "fp" if args.backend == "jax" else args.backend  # legacy alias
+    engine = _build_engine(args, cfg, backend, args.calib_data)
+    if engine is None:
+        return 2
+
+    from yolofastest_tpu.inference import detect_video
+
+    stem, ext = os.path.splitext(os.path.basename(args.video))
+    if ext.lower() not in (".mp4", ".m4v", ".avi"):
+        ext = ".avi"
+    out_path = os.path.join(args.out, "result_" + stem + ext)
+    stats = detect_video(engine, cfg, args.video, out_path,
+                         batch_size=args.batch, depth=args.depth,
+                         logger=logger)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_train(args) -> int:
     import dataclasses
 
@@ -530,6 +562,30 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
     s.set_defaults(fn=cmd_serve)
+
+    v = sub.add_parser("video",
+                       help="detect over a video file -> annotated video")
+    v.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
+    v.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
+    v.add_argument("--video", required=True, help="input video path")
+    v.add_argument("--out", required=True, help="output directory")
+    v.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
+    v.add_argument("--backend", default="fp",
+                   choices=["fp", "jax", "native", "native-int8", "int8",
+                            "int8-fused"],
+                   help="fp (BN-folded jax) batches frames on device; "
+                        "native/native-int8 run the C++ engine per frame")
+    v.add_argument("--batch", type=int, default=8,
+                   help="frames per device dispatch (jax backends)")
+    v.add_argument("--depth", type=int, default=2,
+                   help="batches in flight before the first fetch (jax "
+                        "backends; overlaps H2D/compute/D2H)")
+    v.add_argument("--calib-data", default=None,
+                   help="calibration image dir for the int8 backends")
+    v.add_argument("--calibration-cache", default=None,
+                   help="JSON file for int8 activation scales (default: "
+                        "<weights>.calib.json)")
+    v.set_defaults(fn=cmd_video)
 
     t = sub.add_parser("train", help="train on a VOC-XML dataset")
     t.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])

@@ -2,6 +2,7 @@ from yolofastest_tpu.inference.detector import Detector, detections_to_lists
 from yolofastest_tpu.inference.server import (DetectionServer, DynamicBatcher,
                                               make_batch_fn)
 from yolofastest_tpu.inference.streaming import StreamingDetector
+from yolofastest_tpu.inference.video import detect_video
 
 __all__ = [
     "Detector",
@@ -10,4 +11,5 @@ __all__ = [
     "DynamicBatcher",
     "DetectionServer",
     "make_batch_fn",
+    "detect_video",
 ]
