@@ -289,15 +289,19 @@ def cmd_video(args) -> int:
     if engine is None:
         return 2
 
-    from yolofastest_tpu.inference import detect_video
+    from yolofastest_tpu.inference import IoUTracker, detect_video
 
+    tracker = None
+    if args.track:
+        tracker = IoUTracker(iou_thre=args.track_iou,
+                             max_age=args.track_max_age)
     stem, ext = os.path.splitext(os.path.basename(args.video))
     if ext.lower() not in (".mp4", ".m4v", ".avi"):
         ext = ".avi"
     out_path = os.path.join(args.out, "result_" + stem + ext)
     stats = detect_video(engine, cfg, args.video, out_path,
                          batch_size=args.batch, depth=args.depth,
-                         logger=logger)
+                         tracker=tracker, logger=logger)
     print(json.dumps(stats))
     return 0
 
@@ -585,6 +589,13 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--calibration-cache", default=None,
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
+    v.add_argument("--track", action="store_true",
+                   help="annotate stable track IDs (SORT-style IoU "
+                        "tracker) instead of independent detections")
+    v.add_argument("--track-iou", type=float, default=0.3,
+                   help="association IoU gate for --track")
+    v.add_argument("--track-max-age", type=int, default=10,
+                   help="frames a track coasts unmatched before dropping")
     v.set_defaults(fn=cmd_video)
 
     t = sub.add_parser("train", help="train on a VOC-XML dataset")

@@ -2,6 +2,7 @@ from yolofastest_tpu.inference.detector import Detector, detections_to_lists
 from yolofastest_tpu.inference.server import (DetectionServer, DynamicBatcher,
                                               make_batch_fn)
 from yolofastest_tpu.inference.streaming import StreamingDetector
+from yolofastest_tpu.inference.track import IoUTracker, TrackedBox
 from yolofastest_tpu.inference.video import detect_video
 
 __all__ = [
@@ -12,4 +13,6 @@ __all__ = [
     "DetectionServer",
     "make_batch_fn",
     "detect_video",
+    "IoUTracker",
+    "TrackedBox",
 ]

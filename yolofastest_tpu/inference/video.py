@@ -63,6 +63,28 @@ def iter_frame_batches(cap, io, batch_size: int
         yield np.stack(nets), originals, n_valid
 
 
+# per-ID colors: distinct-ish BGR from a low-discrepancy walk over hue-like
+# channel mixes (deterministic, no palette table to run out of)
+def _track_color(tid: int) -> list:
+    return [32 + (tid * 67) % 224, 32 + (tid * 97) % 224,
+            32 + (tid * 131) % 224]
+
+
+def _draw_tracked(frame: np.ndarray, tracked, io) -> int:
+    """Annotate one original frame with stable-ID track boxes in place."""
+    sh = frame.shape[0] / io.input_hw[0]
+    sw = frame.shape[1] / io.input_hw[1]
+    for tb in tracked:
+        x1, y1, x2, y2 = tb.box
+        plot_one_box([round(x1 * sw), round(y1 * sh),
+                      round(x2 * sw), round(y2 * sh)], frame,
+                     color=_track_color(tb.tid),
+                     label="#%d %s %.2f" % (tb.tid, io.class_names[tb.cls],
+                                            tb.score),
+                     line_thickness=3)
+    return len(tracked)
+
+
 def _draw(frame: np.ndarray, det: Dict[str, np.ndarray], b: int, io) -> int:
     """Annotate one original frame in place; returns the detection count."""
     sh = frame.shape[0] / io.input_hw[0]
@@ -81,7 +103,7 @@ def _draw(frame: np.ndarray, det: Dict[str, np.ndarray], b: int, io) -> int:
 
 
 def detect_video(engine, config: Config, src: str, out_path: str,
-                 batch_size: int = 8, depth: int = 2,
+                 batch_size: int = 8, depth: int = 2, tracker=None,
                  logger=None) -> Dict[str, Any]:
     """Run a deployment engine over a video file; write the annotated video.
 
@@ -93,9 +115,15 @@ def detect_video(engine, config: Config, src: str, out_path: str,
       batch_size: frames per device dispatch (jax engines).
       depth: in-flight batches before the first fetch (jax engines; 1 =
         synchronous, same semantics as ``StreamingDetector``).
+      tracker: optional :class:`~yolofastest_tpu.inference.IoUTracker`;
+        when given, frames are annotated with stable track IDs instead of
+        raw detections (frames are always fetched/consumed in stream order
+        — the in-flight deque is FIFO — so the tracker sees a sequential
+        stream even at ``depth > 1``).
 
     Returns a stats dict: frames, avg_ms (per frame, steady-state wall
-    clock), fps (effective), src_fps, realtime_x (fps / src_fps).
+    clock), fps (effective), src_fps, realtime_x (fps / src_fps), and —
+    with a tracker — tracks (distinct IDs ever created).
     """
     import cv2
 
@@ -122,6 +150,19 @@ def detect_video(engine, config: Config, src: str, out_path: str,
     frames_done = 0
     det_total = 0
     t0 = None  # set after the first dispatch so jit compile isn't timed
+
+    def emit(frame: np.ndarray, det: Dict[str, np.ndarray], b: int) -> int:
+        """Annotate + write one frame; raw detections or tracked IDs."""
+        if tracker is None:
+            n = _draw(frame, det, b, io)
+        else:
+            k = int(det["count"][b])
+            score = det["conf"][b, :k] * det["cls_score"][b, :k]
+            tracked = tracker.update(det["boxes"][b, :k],
+                                     det["cls_idx"][b, :k], score)
+            n = _draw_tracked(frame, tracked, io)
+        writer.write(frame)
+        return n
     try:
         if is_jax:
             from yolofastest_tpu.ops import unpack_detections
@@ -131,8 +172,7 @@ def detect_video(engine, config: Config, src: str, out_path: str,
                 packed, originals, n_valid = item
                 det = unpack_detections(np.asarray(packed))
                 for b, frame in enumerate(originals[:n_valid]):
-                    det_total += _draw(frame, det, b, io)
-                    writer.write(frame)
+                    det_total += emit(frame, det, b)
                 frames_done += n_valid
                 if logger is not None:
                     logger.info("video batch done -> frames:%d" % frames_done)
@@ -165,8 +205,7 @@ def detect_video(engine, config: Config, src: str, out_path: str,
                         "cls_idx": np.asarray([[int(r[6]) for r in rows]],
                                               np.int32),
                         "count": np.asarray([len(rows)], np.int32)}
-                    det_total += _draw(frame, det, 0, io)
-                    writer.write(frame)
+                    det_total += emit(frame, det, 0)
                 frames_done += n_valid
                 if logger is not None:
                     logger.info("video batch done -> frames:%d" % frames_done)
@@ -181,6 +220,8 @@ def detect_video(engine, config: Config, src: str, out_path: str,
              "avg_ms": avg_ms, "fps": fps, "src_fps": float(src_fps),
              "realtime_x": fps / src_fps if src_fps else 0.0,
              "out": out_path}
+    if tracker is not None:
+        stats["tracks"] = tracker.total_tracks
     if logger is not None:
         logger.info(
             "video done -> frames:%d detections:%d avg_time:%.2fms "
