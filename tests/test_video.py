@@ -115,3 +115,12 @@ def test_video_missing_file(tmp_path):
     with pytest.raises(FileNotFoundError):
         detect_video(object(), cfg, str(tmp_path / "nope.avi"),
                      str(tmp_path / "x.avi"))
+
+
+def test_video_camera_index_unavailable(tmp_path):
+    """A digit-string source is treated as a camera index; no camera in this
+    container, so the clean FileNotFoundError path must fire (not a codec
+    crash)."""
+    cfg = get_config("256x320")
+    with pytest.raises(FileNotFoundError, match="99"):
+        detect_video(object(), cfg, "99", str(tmp_path / "x.avi"))

@@ -571,7 +571,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="detect over a video file -> annotated video")
     v.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
     v.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
-    v.add_argument("--video", required=True, help="input video path")
+    v.add_argument("--video", required=True,
+                   help="input video path, stream URL, or camera index "
+                        "(e.g. 0)")
     v.add_argument("--out", required=True, help="output directory")
     v.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
     v.add_argument("--backend", default="fp",

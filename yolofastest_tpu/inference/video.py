@@ -110,7 +110,9 @@ def detect_video(engine, config: Config, src: str, out_path: str,
     Args:
       engine: ``Detector`` (any jax backend; overlapped via ``depth``) or
         ``NativeEngine`` (per frame).
-      src: input video path (anything cv2.VideoCapture opens).
+      src: input video path, stream URL (RTSP/HTTP), or an integer camera
+        index as int or digit-string ("0" = first camera) — anything
+        cv2.VideoCapture opens.
       out_path: annotated output video path (codec from the extension).
       batch_size: frames per device dispatch (jax engines).
       depth: in-flight batches before the first fetch (jax engines; 1 =
@@ -128,10 +130,12 @@ def detect_video(engine, config: Config, src: str, out_path: str,
     import cv2
 
     io = config.io
+    if isinstance(src, str) and src.isdigit():
+        src = int(src)  # camera index, e.g. CLI --video 0
     cap = cv2.VideoCapture(src)
     if not cap.isOpened():
         cap.release()
-        raise FileNotFoundError(f"cannot open video {src!r}")
+        raise FileNotFoundError(f"cannot open video source {src!r}")
     is_jax = hasattr(engine, "run_packed")
     if not is_jax and not hasattr(engine, "detect"):
         cap.release()
