@@ -456,11 +456,26 @@ def cmd_export(args) -> int:
         if cal is not None:
             act_scales = calibrate(folded, [cal], arch=arch)
 
+    # the int8 artifacts may come from QAT-refined weights; the fp
+    # artifacts always ship the original checkpoint
+    int8_src = folded
+    if getattr(args, "qat_steps", 0) > 0:
+        if act_scales is None:
+            print("--qat-steps needs --calib-data (skipping QAT)")
+        else:
+            from yolofastest_tpu.quant import qat_finetune
+
+            int8_src, hist = qat_finetune(folded, act_scales, [cal],
+                                          arch=arch, steps=args.qat_steps,
+                                          lr=args.qat_lr)
+            print("QAT distillation: loss %.3e -> %.3e over %d steps"
+                  % (hist[0], hist[-1], len(hist)))
+
     save_native_weights(folded, os.path.join(args.out, "model.yfb"))
     print("wrote", os.path.join(args.out, "model.yfb"))
     # with --calib-data, the int8 .yfb also carries activation scales, so
     # the C++ engine runs real int8 arithmetic on it (cpp/src/ops_int8.cpp)
-    save_native_weights(quantize_weights(folded),
+    save_native_weights(quantize_weights(int8_src),
                         os.path.join(args.out, "model_int8.yfb"),
                         act_scales=act_scales)
     print("wrote", os.path.join(args.out, "model_int8.yfb"))
@@ -488,8 +503,10 @@ def cmd_export(args) -> int:
     print("wrote", os.path.join(args.out, "detect.stablehlo"))
 
     if cal is not None:
+        # int8_src/act_scales carry the QAT refinement when --qat-steps ran
         exp = export_int8_forward(variables, cfg, cal, batch=args.batch,
-                                  arch=arch)
+                                  arch=arch, folded=int8_src,
+                                  act_scales=act_scales)
         save_exported(exp, os.path.join(args.out, "forward_int8.stablehlo"))
         print("wrote", os.path.join(args.out, "forward_int8.stablehlo"))
     return 0
@@ -662,6 +679,13 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--calib-data", default=None,
                    help="directory of calibration .jpg images; when given, "
                         "also exports the int8 graph (forward_int8.stablehlo)")
+    x.add_argument("--qat-steps", type=int, default=0,
+                   help="quantisation-aware distillation steps on the "
+                        "calibration images before emitting the int8 "
+                        "artifacts (needs --calib-data; fp artifacts keep "
+                        "the original weights)")
+    x.add_argument("--qat-lr", type=float, default=1e-4,
+                   help="Adam learning rate for --qat-steps")
     x.set_defaults(fn=cmd_export)
 
     c = sub.add_parser("convert", help="reference .pth -> zoo .npz")

@@ -21,7 +21,7 @@ Two graphs are exported:
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +88,8 @@ def export_int8_forward(
     batch: int = 1,
     fused: bool = False,
     arch: str = "fastest",
+    folded: Optional[Dict[str, Any]] = None,
+    act_scales: Optional[Dict[str, float]] = None,
 ) -> jexport.Exported:
     """int8 deployment graph, quantised weights AND activation scales baked
     in: (B,H,W,1) float net input -> float head tuple ((large, small), or
@@ -97,15 +99,20 @@ def export_int8_forward(
     (``rknn.build(do_quantization=...)``, ``rknn_deploy.py:43`` — which the
     reference left at fp16); ``calibration`` is a batch (or list of batches)
     of net-input images, exactly like RKNN's calibration dataset list.
+
+    ``folded`` / ``act_scales`` override the internal fold + calibrate —
+    used to ship QAT-refined weights at their frozen training scales
+    (``quant/qat.py``).
     """
     from yolofastest_tpu.models import fold_batchnorm
     from yolofastest_tpu.quant import calibrate, quantize_weights
     from yolofastest_tpu.quant.ptq import quantized_apply, quantized_apply_fused
 
     io = config.io
-    folded = fold_batchnorm(jax.device_get(jax.tree.map(jnp.asarray, variables)))
+    if folded is None:
+        folded = fold_batchnorm(jax.device_get(jax.tree.map(jnp.asarray, variables)))
     batches = calibration if isinstance(calibration, (list, tuple)) else [calibration]
-    scales = calibrate(folded, batches, arch=arch)
+    scales = calibrate(folded, batches, arch=arch) if act_scales is None else act_scales
     qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
     apply_q = quantized_apply_fused if fused else quantized_apply
 

@@ -5,6 +5,13 @@ from yolofastest_tpu.quant.ptq import (
     quantized_apply,
     quantized_apply_fused,
 )
+from yolofastest_tpu.quant.qat import (
+    FakeQuantExecutor,
+    fake_quant_act,
+    fake_quant_weight,
+    qat_apply,
+    qat_finetune,
+)
 
 __all__ = [
     "Int8Executor",
@@ -12,4 +19,9 @@ __all__ = [
     "quantize_weights",
     "quantized_apply",
     "quantized_apply_fused",
+    "FakeQuantExecutor",
+    "fake_quant_act",
+    "fake_quant_weight",
+    "qat_apply",
+    "qat_finetune",
 ]
