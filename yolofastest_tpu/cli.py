@@ -352,8 +352,19 @@ def cmd_train(args) -> int:
     else:
         logger.info("initialize model")
 
+    distill_fn = None
+    if args.distill_teacher:
+        from yolofastest_tpu.train import make_teacher_fn
+
+        distill_fn = make_teacher_fn(_load_weights(args.distill_teacher),
+                                     arch=args.distill_arch)
+        logger.info("Distilling from %s (%s) with weight %g"
+                    % (args.distill_teacher, args.distill_arch,
+                       args.distill_weight))
+
     trainer = Trainer(cfg, batch_per_epoch=len(loader), variables=variables,
-                      logger=logger, arch=args.arch)
+                      logger=logger, arch=args.arch, distill_fn=distill_fn,
+                      distill_weight=args.distill_weight)
     start_epoch = 0
     if args.resume:
         path = args.resume
@@ -644,6 +655,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference hard-codes max(3*steps_per_epoch, 1000) "
                         "(train.py:81) which never completes on small "
                         "datasets — lower it for short runs")
+    t.add_argument("--distill-teacher", default=None,
+                   help="zoo .npz checkpoint whose head logits supervise the "
+                        "student alongside the label loss (e.g. the full "
+                        "model teaching --arch lite)")
+    t.add_argument("--distill-arch", default="fastest",
+                   choices=["fastest", "lite"],
+                   help="architecture of --distill-teacher")
+    t.add_argument("--distill-weight", type=float, default=1.0,
+                   help="weight of the teacher-MSE term in the total loss")
     t.add_argument("--log-dir", default="logs")
     t.set_defaults(fn=cmd_train)
 

@@ -55,10 +55,17 @@ def make_train_step(
     tx: optax.GradientTransformation,
     config: Config,
     lr_schedule: Callable,
+    distill_fn: Optional[Callable] = None,
+    distill_weight: float = 1.0,
 ) -> Callable:
     """Build the pure train-step function (state, imgs, targets) ->
     (state, metrics).  Jit it with shardings via :class:`Trainer` or
-    directly."""
+    directly.
+
+    ``distill_fn`` (see :func:`yolofastest_tpu.train.distill.make_teacher_fn`)
+    adds ``distill_weight * MSE(student_heads, teacher_heads)`` to the loss —
+    the frozen teacher's forward is traced into the SAME XLA program, so it
+    shards and fuses with the student step."""
     io = config.io
     tr = config.train
 
@@ -81,6 +88,14 @@ def make_train_step(
                 num_cls=io.num_cls,
                 branch_weight=tr.branch_weight,
             )
+            if distill_fn is not None:
+                from yolofastest_tpu.train.distill import distill_loss
+
+                d = distill_loss(tuple(heads), distill_fn(imgs))
+                loss = loss + distill_weight * d
+                comps = dict(comps)
+                comps["distill"] = d
+                comps["total"] = loss
             return loss, (comps, mutated["batch_stats"])
 
         (loss, (comps, new_stats)), grads = jax.value_and_grad(
@@ -146,6 +161,8 @@ class Trainer:
         compute_dtype=jnp.float32,
         shard_spatial: bool = False,
         arch: str = "fastest",
+        distill_fn: Optional[Callable] = None,
+        distill_weight: float = 1.0,
     ):
         self.config = config
         self.logger = logger
@@ -210,7 +227,9 @@ class Trainer:
             lambda x: host_to_global(replicated, np.asarray(x)), state
         )
 
-        step_fn = make_train_step(self.model, self.tx, config, self.lr_schedule)
+        step_fn = make_train_step(self.model, self.tx, config, self.lr_schedule,
+                                  distill_fn=distill_fn,
+                                  distill_weight=distill_weight)
         self._train_step = jax.jit(
             step_fn,
             in_shardings=(replicated, self.img_sharding, self.tgt_sharding),
