@@ -140,6 +140,40 @@ def test_batcher_surfaces_batch_fn_errors():
         batcher.close()
 
 
+def test_batcher_snapshot_and_prometheus_text():
+    """Observability: latency quantiles + batch-occupancy histogram in both
+    the JSON snapshot and the Prometheus exposition."""
+
+    def echo(batch, n):
+        return [[] for _ in batch[:n]]
+
+    batcher = DynamicBatcher(echo, (8, 8), max_batch=4, window_ms=1.0)
+    try:
+        for _ in range(5):
+            batcher.submit(np.zeros((8, 8, 1), np.float32))
+        snap = batcher.snapshot()
+        assert snap["requests"] == 5 and snap["errors"] == 0
+        assert snap["latency_count"] == 5
+        assert snap["latency_sum_ms"] > 0
+        lat = snap["latency_ms"]
+        assert 0 < lat["p50"] <= lat["p95"] <= lat["p99"] < 1000
+        # single-threaded submits -> every batch had occupancy 1
+        assert snap["batch_fill"] == {"1": snap["batches"]}
+
+        text = batcher.prometheus_text()
+        assert "# TYPE yf_requests_total counter" in text
+        assert "yf_requests_total 5" in text
+        assert 'yf_request_latency_ms{quantile="0.5"}' in text
+        assert f"yf_request_latency_ms_count 5" in text
+        # cumulative le buckets: le="4" and +Inf both equal total batches
+        assert f'yf_batch_size_bucket{{le="4"}} {snap["batches"]}' in text
+        assert f'yf_batch_size_bucket{{le="+Inf"}} {snap["batches"]}' in text
+        assert f"yf_batch_size_sum 5" in text
+        assert text.endswith("\n")
+    finally:
+        batcher.close()
+
+
 # --------------------------------------------------------------------- HTTP
 @pytest.mark.slow
 def test_http_server_end_to_end(detector):
@@ -173,6 +207,12 @@ def test_http_server_end_to_end(detector):
 
         stats = json.load(urllib.request.urlopen(f"{base}/stats", timeout=10))
         assert stats["requests"] >= 1 and stats["errors"] == 0
+        assert stats["latency_ms"]["p50"] > 0
+
+        metrics = urllib.request.urlopen(f"{base}/metrics", timeout=10)
+        assert metrics.headers["Content-Type"].startswith("text/plain")
+        text = metrics.read().decode()
+        assert "yf_requests_total" in text and "yf_batch_size_bucket" in text
 
         # error paths: undecodable body -> 400, unknown path -> 404
         bad = urllib.request.Request(f"{base}/detect", data=b"not an image",

@@ -22,6 +22,7 @@ Two layers, separately usable:
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import threading
@@ -77,6 +78,7 @@ class _Request:
     done: threading.Event = field(default_factory=threading.Event)
     rows: Optional[List[List[float]]] = None
     error: Optional[BaseException] = None
+    t0: float = field(default_factory=time.perf_counter)
 
 
 class DynamicBatcher:
@@ -103,6 +105,14 @@ class DynamicBatcher:
         self._q: "queue.SimpleQueue[Optional[_Request]]" = queue.SimpleQueue()
         self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0,
                       "errors": 0}
+        # observability: per-request queue+execute latency (bounded ring,
+        # quantiles over the most recent window) and batch-occupancy counts
+        # (how well dynamic batching is coalescing under the current load)
+        self._lat_ms: "collections.deque[float]" = collections.deque(
+            maxlen=2048)
+        self._lat_sum_ms = 0.0
+        self._lat_count = 0
+        self._fill_counts = [0] * (max_batch + 1)  # index = batch occupancy
         self._stats_mu = threading.Lock()
         # Warm the single compiled shape before accepting traffic, so the
         # first request doesn't pay the compile.
@@ -170,6 +180,7 @@ class DynamicBatcher:
         # Counters BEFORE waking the waiters: a submit() that returned (and
         # anything it triggers, e.g. a follow-up GET /stats) must already see
         # its own request counted.
+        now = time.perf_counter()
         with self._stats_mu:
             self.stats["requests"] += len(items)
             self.stats["batches"] += 1
@@ -177,8 +188,68 @@ class DynamicBatcher:
                                                len(items))
             if failed:
                 self.stats["errors"] += 1
+            self._fill_counts[len(items)] += 1
+            for req in items:
+                ms = (now - req.t0) * 1e3
+                self._lat_ms.append(ms)
+                self._lat_sum_ms += ms
+                self._lat_count += 1
         for req in items:
             req.done.set()
+
+    # -------------------------------------------------------- observability
+    def snapshot(self) -> Dict[str, Any]:
+        """Counters + latency quantiles (over the recent window) + batch
+        occupancy histogram, one consistent view."""
+        with self._stats_mu:
+            out: Dict[str, Any] = dict(self.stats)
+            lat = list(self._lat_ms)
+            out["latency_sum_ms"] = self._lat_sum_ms
+            out["latency_count"] = self._lat_count
+            out["batch_fill"] = {str(i): c
+                                 for i, c in enumerate(self._fill_counts)
+                                 if i > 0 and c > 0}
+        if lat:
+            q = np.quantile(np.asarray(lat), [0.5, 0.95, 0.99])
+            out["latency_ms"] = {"p50": round(float(q[0]), 3),
+                                 "p95": round(float(q[1]), 3),
+                                 "p99": round(float(q[2]), 3)}
+        return out
+
+    def prometheus_text(self) -> str:
+        """Prometheus text exposition of :meth:`snapshot` — counters, a
+        request-latency summary, and a batch-occupancy histogram (cumulative
+        ``le`` buckets, as scrapers expect)."""
+        s = self.snapshot()
+        lines = [
+            "# TYPE yf_requests_total counter",
+            f"yf_requests_total {s['requests']}",
+            "# TYPE yf_batches_total counter",
+            f"yf_batches_total {s['batches']}",
+            "# TYPE yf_errors_total counter",
+            f"yf_errors_total {s['errors']}",
+            "# TYPE yf_max_batch_seen gauge",
+            f"yf_max_batch_seen {s['max_batch_seen']}",
+            "# TYPE yf_request_latency_ms summary",
+        ]
+        for k, v in s.get("latency_ms", {}).items():
+            quantile = {"p50": "0.5", "p95": "0.95", "p99": "0.99"}[k]
+            lines.append(
+                f'yf_request_latency_ms{{quantile="{quantile}"}} {v}')
+        lines.append(f"yf_request_latency_ms_sum {s['latency_sum_ms']:.3f}")
+        lines.append(f"yf_request_latency_ms_count {s['latency_count']}")
+        lines.append("# TYPE yf_batch_size histogram")
+        cum = 0
+        with self._stats_mu:
+            fills = list(self._fill_counts)
+        for i in range(1, len(fills)):
+            cum += fills[i]
+            lines.append(f'yf_batch_size_bucket{{le="{i}"}} {cum}')
+        lines.append(f'yf_batch_size_bucket{{le="+Inf"}} {cum}')
+        lines.append(
+            f"yf_batch_size_sum {sum(i * c for i, c in enumerate(fills))}")
+        lines.append(f"yf_batch_size_count {cum}")
+        return "\n".join(lines) + "\n"
 
 
 # ------------------------------------------------------------------- HTTP
@@ -198,7 +269,10 @@ class DetectionServer:
 
       * ``GET /healthz`` — ``{"status": "ok", "arch": ..., "input_hw": ...}``
       * ``GET /stats`` — batcher counters (requests, batches,
-        max_batch_seen, errors).
+        max_batch_seen, errors) + latency p50/p95/p99 over the recent
+        window + batch-occupancy histogram.
+      * ``GET /metrics`` — the same in Prometheus text exposition format
+        (counter/summary/histogram families), scrapable as-is.
     """
 
     def __init__(self, batcher: DynamicBatcher, config: Config,
@@ -231,11 +305,17 @@ class DetectionServer:
                                      "input_hw": list(io.input_hw),
                                      "class_names": list(io.class_names)})
                 elif self.path == "/stats":
-                    with outer.batcher._stats_mu:
-                        snapshot = dict(outer.batcher.stats)
-                    # socket writes OUTSIDE the lock: a stalled client must
-                    # not be able to block the batcher worker's stats update
-                    self._json(200, snapshot)
+                    # snapshot() copies under the lock; socket writes happen
+                    # OUTSIDE it, so a stalled client can't block the batcher
+                    self._json(200, outer.batcher.snapshot())
+                elif self.path == "/metrics":
+                    body = outer.batcher.prometheus_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._json(404, {"error": "unknown path"})
 
