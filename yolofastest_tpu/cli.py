@@ -9,7 +9,7 @@ Here one typed config (``configs/``) + argparse drive every workflow:
   video     video file -> annotated video (any backend, batches in flight)
   serve     HTTP detection server with dynamic batching (any backend)
   train     full training run with validation + orbax checkpoints
-  eval      mAP of a weights file on a VOC dataset
+  eval      mAP of a weights file on a VOC/COCO dataset
   export    weights -> StableHLO + ONNX + TorchScript + native .yfb (+ int8)
   convert   reference .pth -> zoo .npz
   txt2xml   custom txt labels -> VOC XML (reference utils/txt2xml.py)
@@ -60,6 +60,19 @@ def _load_calibration(data_dir: str, io, k: int = 8):
         return None
     return np.concatenate([load_net_input(os.path.join(data_dir, n), io)[0]
                            for n in names])
+
+
+def _make_index(root: str, class_names, logger=None, fmt: str = "auto"):
+    """Dataset index for ``root``: VOC (``<root>/xml``) or COCO
+    (``<root>/annotations.json``).  ``fmt='auto'`` picks by layout."""
+    from yolofastest_tpu.data import COCOIndex, VOCIndex
+
+    if fmt == "auto":
+        fmt = ("coco" if os.path.exists(os.path.join(root, "annotations.json"))
+               else "voc")
+    if fmt == "coco":
+        return COCOIndex(root, class_names, logger)
+    return VOCIndex(root, class_names, logger)
 
 
 def _int8_cache_path(args) -> str:
@@ -334,13 +347,15 @@ def cmd_train(args) -> int:
     logger = config_logger(args.log_dir, "train_info.log")
     logger.info("Start....")
 
-    train_idx = VOCIndex(args.train_dir, cfg.io.class_names, logger)
+    train_idx = _make_index(args.train_dir, cfg.io.class_names, logger,
+                            fmt=args.format)
     loader = DetectionLoader(train_idx, cfg, seed=cfg.train.seed,
                              cache=args.cache_images)
 
     validator = None
     if args.val_dir:
-        val_idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
+        val_idx = _make_index(args.val_dir, cfg.io.class_names, logger,
+                              fmt=args.format)
         val_loader = DetectionLoader(val_idx, cfg, augment=False,
                                      shuffle=False, drop_last=False)
         validator = MAPEvaluator(cfg, val_loader, logger=logger,
@@ -404,7 +419,8 @@ def cmd_eval(args) -> int:
     cfg = get_config(args.config)
     _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     logger = config_logger(args.log_dir, "eval_info.log")
-    idx = VOCIndex(args.val_dir, cfg.io.class_names, logger)
+    idx = _make_index(args.val_dir, cfg.io.class_names, logger,
+                      fmt=args.format)
     loader = DetectionLoader(idx, cfg, augment=False, shuffle=False,
                              drop_last=False)
     backend = getattr(args, "backend", "train")
@@ -628,7 +644,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frames a track coasts unmatched before dropping")
     v.set_defaults(fn=cmd_video)
 
-    t = sub.add_parser("train", help="train on a VOC-XML dataset")
+    t = sub.add_parser("train", help="train on a VOC-XML or COCO dataset")
+    t.add_argument("--format", default="auto",
+                   choices=["auto", "voc", "coco"],
+                   help="dataset layout: voc = <dir>/img + <dir>/xml, "
+                        "coco = <dir>/img + <dir>/annotations.json; "
+                        "auto picks by the annotations.json presence")
     t.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
     t.add_argument("--train-dir", required=True)
     t.add_argument("--val-dir", default=None)
@@ -667,7 +688,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-dir", default="logs")
     t.set_defaults(fn=cmd_train)
 
-    e = sub.add_parser("eval", help="mAP on a VOC-XML val set")
+    e = sub.add_parser("eval", help="mAP on a VOC-XML or COCO val set")
+    e.add_argument("--format", default="auto",
+                   choices=["auto", "voc", "coco"],
+                   help="dataset layout (see train --format)")
     e.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
     e.add_argument("--weights", required=True)
     e.add_argument("--val-dir", required=True)
