@@ -285,6 +285,30 @@ def test_data_parallel_sharding_runs():
     assert int(trainer.state.step) == 2
 
 
+def test_bf16_train_step_tracks_fp32():
+    """compute_dtype=bfloat16 (CLI --bf16): params/loss stay fp32, the step
+    runs, and the loss tracks the fp32 trainer's to bf16 precision."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((8, 64, 96, 1)).astype(np.float32) * 0.2
+    tgts = np.zeros((8, cfg.train.max_boxes, 6), np.float32)
+    tgts[:, 0] = [0.5, 0.5, 0.25, 0.25, 1, 255.0]
+
+    losses = {}
+    for dt in (jnp.float32, jnp.bfloat16):
+        trainer = Trainer(cfg, batch_per_epoch=10, seed=123, compute_dtype=dt)
+        m = trainer.step(imgs, tgts)
+        losses[dt] = float(m["total"])
+        assert np.isfinite(losses[dt])
+        leaves = jax.tree_util.tree_leaves(trainer.state.params)
+        assert all(l.dtype == jnp.float32 for l in leaves)  # master weights
+    assert abs(losses[jnp.bfloat16] - losses[jnp.float32]) < 0.05 * abs(
+        losses[jnp.float32]), losses
+
+
 def test_loader_cache_identical_and_decodes_once(tmp_path, monkeypatch):
     """cache=True serves bit-identical batches while decoding each image
     exactly once across epochs (the host decode otherwise bottlenecks a TPU

@@ -377,9 +377,12 @@ def cmd_train(args) -> int:
                     % (args.distill_teacher, args.distill_arch,
                        args.distill_weight))
 
+    import jax.numpy as jnp
+
     trainer = Trainer(cfg, batch_per_epoch=len(loader), variables=variables,
                       logger=logger, arch=args.arch, distill_fn=distill_fn,
-                      distill_weight=args.distill_weight)
+                      distill_weight=args.distill_weight,
+                      compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     start_epoch = 0
     if args.resume:
         path = args.resume
@@ -676,6 +679,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference hard-codes max(3*steps_per_epoch, 1000) "
                         "(train.py:81) which never completes on small "
                         "datasets — lower it for short runs")
+    t.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv compute in the train step (params, "
+                        "loss and BN stats stay fp32) - the MXU-native "
+                        "dtype; the deployed graphs already run bf16")
     t.add_argument("--distill-teacher", default=None,
                    help="zoo .npz checkpoint whose head logits supervise the "
                         "student alongside the label loss (e.g. the full "
