@@ -13,7 +13,8 @@ import pytest
 
 from tests.test_train import make_dataset, tiny_config
 from yolofastest_tpu.data import (COCOIndex, DetectionLoader, VOCIndex,
-                                  parse_coco_json, write_coco_json)
+                                  parse_coco_json, voc_to_coco,
+                                  write_coco_json)
 
 NAMES = ("carrier", "defender", "destroyer")
 
@@ -56,32 +57,6 @@ def test_parse_rejects_bad_documents(tmp_path):
         parse_coco_json(p, NAMES)
 
 
-def _voc_to_coco(voc_root: str, coco_root: str, class_names) -> None:
-    """Re-express a VOC-layout dataset in the COCO layout (shared img/)."""
-    import shutil
-    import xml.etree.ElementTree as ET
-
-    os.makedirs(coco_root, exist_ok=True)
-    shutil.copytree(os.path.join(voc_root, "img"),
-                    os.path.join(coco_root, "img"))
-    entries = []
-    for fn in sorted(os.listdir(os.path.join(voc_root, "xml"))):
-        tree = ET.parse(os.path.join(voc_root, "xml", fn))
-        size = tree.find("size")
-        hw = (int(size.find("height").text), int(size.find("width").text))
-        boxes = []
-        for obj in tree.findall("object"):
-            bb = obj.find("bndbox")
-            boxes.append((obj.find("name").text,
-                          float(bb.find("xmin").text),
-                          float(bb.find("ymin").text),
-                          float(bb.find("xmax").text),
-                          float(bb.find("ymax").text)))
-        entries.append((os.path.splitext(fn)[0] + ".jpg", hw, boxes))
-    write_coco_json(os.path.join(coco_root, "annotations.json"),
-                    entries, class_names)
-
-
 def test_coco_index_matches_voc_through_loader(tmp_path):
     """The SAME dataset in both layouts: identical index items and identical
     loader batches (images + padded targets)."""
@@ -89,7 +64,7 @@ def test_coco_index_matches_voc_through_loader(tmp_path):
     voc = str(tmp_path / "voc")
     coco = str(tmp_path / "coco")
     make_dataset(voc, 6, cfg, seed=11)
-    _voc_to_coco(voc, coco, cfg.io.class_names)
+    assert voc_to_coco(voc, coco, cfg.io.class_names) == 6
 
     vi = VOCIndex(voc, cfg.io.class_names)
     ci = COCOIndex(coco, cfg.io.class_names)
@@ -103,6 +78,28 @@ def test_coco_index_matches_voc_through_loader(tmp_path):
     for (iv, tv), (ic, tc) in zip(lv, lc):
         np.testing.assert_array_equal(iv, ic)
         np.testing.assert_array_equal(tv, tc)
+
+
+def test_cli_voc2coco(tmp_path, monkeypatch, capsys):
+    """`voc2coco` CLI: converted layout indexes identically to the source."""
+    from yolofastest_tpu import configs
+    from yolofastest_tpu.cli import main
+
+    cfg = tiny_config()
+    monkeypatch.setattr(configs, "get_config", lambda name="256x320", **kw: cfg)
+
+    voc = str(tmp_path / "voc")
+    coco = str(tmp_path / "coco")
+    make_dataset(voc, 4, cfg, seed=5)
+    rc = main(["voc2coco", "--src", voc, "--dst", coco])
+    assert rc == 0
+    assert "converted 4 images" in capsys.readouterr().out
+
+    vi = VOCIndex(voc, cfg.io.class_names)
+    ci = COCOIndex(coco, cfg.io.class_names)
+    for (vp, vl), (cp, cl) in zip(vi.items, ci.items):
+        assert os.path.basename(vp) == os.path.basename(cp)
+        np.testing.assert_allclose(cl, vl)
 
 
 @pytest.mark.slow
@@ -131,7 +128,7 @@ def test_cli_eval_coco_format(tmp_path, monkeypatch):
     voc = str(tmp_path / "voc")
     coco = str(tmp_path / "coco")
     make_dataset(voc, 8, cfg, seed=2)
-    _voc_to_coco(voc, coco, cfg.io.class_names)
+    voc_to_coco(voc, coco, cfg.io.class_names)
 
     outs = {}
     for name, d in (("voc", voc), ("coco", coco)):

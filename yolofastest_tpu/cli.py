@@ -13,6 +13,7 @@ Here one typed config (``configs/``) + argparse drive every workflow:
   export    weights -> StableHLO + ONNX + TorchScript + native .yfb (+ int8)
   convert   reference .pth -> zoo .npz
   txt2xml   custom txt labels -> VOC XML (reference utils/txt2xml.py)
+  voc2coco  VOC-layout dataset -> COCO layout
 """
 
 from __future__ import annotations
@@ -552,6 +553,16 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_voc2coco(args) -> int:
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.data import voc_to_coco
+
+    names = get_config(args.config).io.class_names
+    n = voc_to_coco(args.src, args.dst, names)
+    print(f"converted {n} images -> {args.dst} (COCO layout)")
+    return 0
+
+
 def cmd_txt2xml(args) -> int:
     from yolofastest_tpu.data.txt2xml import convert_txt_dataset
 
@@ -743,6 +754,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--pth", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_convert)
+
+    vc = sub.add_parser("voc2coco",
+                        help="VOC-layout dataset -> COCO layout "
+                             "(img/ + annotations.json)")
+    vc.add_argument("--config", default="256x320",
+                    choices=["256x320", "512x640", "lite-256x320",
+                             "lite-512x640"],
+                    help="supplies the class-name list for category ids")
+    vc.add_argument("--src", required=True, help="VOC root (img/ + xml/)")
+    vc.add_argument("--dst", required=True, help="output COCO root")
+    vc.set_defaults(fn=cmd_voc2coco)
 
     tx = sub.add_parser("txt2xml", help="custom txt labels -> VOC XML dataset")
     tx.add_argument("--src", required=True)

@@ -103,6 +103,38 @@ def write_coco_json(
         json.dump(doc, f)
 
 
+def voc_to_coco(voc_root: str, coco_root: str,
+                class_names: Sequence[str]) -> int:
+    """Convert a VOC-layout dataset (``<root>/img`` + ``<root>/xml``) to the
+    COCO layout (``<root>/img`` + ``<root>/annotations.json``).  The txt2xml
+    sibling for the other direction of the format matrix; returns the number
+    of images converted.  Images are copied, not moved."""
+    import shutil
+    import xml.etree.ElementTree as ET
+
+    os.makedirs(coco_root, exist_ok=True)
+    dst_img = os.path.join(coco_root, "img")
+    if not os.path.exists(dst_img):
+        shutil.copytree(os.path.join(voc_root, "img"), dst_img)
+    entries = []
+    for fn in sorted(os.listdir(os.path.join(voc_root, "xml"))):
+        tree = ET.parse(os.path.join(voc_root, "xml", fn))
+        size = tree.find("size")
+        hw = (int(size.find("height").text), int(size.find("width").text))
+        boxes = []
+        for obj in tree.findall("object"):
+            bb = obj.find("bndbox")
+            boxes.append((obj.find("name").text,
+                          float(bb.find("xmin").text),
+                          float(bb.find("ymin").text),
+                          float(bb.find("xmax").text),
+                          float(bb.find("ymax").text)))
+        entries.append((os.path.splitext(fn)[0] + ".jpg", hw, boxes))
+    write_coco_json(os.path.join(coco_root, "annotations.json"),
+                    entries, class_names)
+    return len(entries)
+
+
 class COCOIndex:
     """``<root>/annotations.json`` + ``<root>/img/<file_name>``; presents
     the :class:`VOCIndex` contract so every consumer works unchanged."""
