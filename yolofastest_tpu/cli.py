@@ -427,11 +427,16 @@ def cmd_eval(args) -> int:
                       fmt=args.format)
     loader = DetectionLoader(idx, cfg, augment=False, shuffle=False,
                              drop_last=False)
+    iou_thresholds = None
+    if getattr(args, "coco_map", False):
+        from yolofastest_tpu.eval import COCO_IOU_GRID
+        iou_thresholds = COCO_IOU_GRID
     backend = getattr(args, "backend", "train")
     if backend == "train":
         # Reference-parity path: the training-loop evaluator (float boxes,
         # validate.py conventions) on the raw checkpoint.
-        evaluator = MAPEvaluator(cfg, loader, logger=logger, arch=args.arch)
+        evaluator = MAPEvaluator(cfg, loader, logger=logger, arch=args.arch,
+                                 iou_thresholds=iou_thresholds)
         import jax
         import jax.numpy as jnp
 
@@ -449,10 +454,13 @@ def cmd_eval(args) -> int:
             return 2
         evaluator = MAPEvaluator(
             cfg, loader, logger=logger, arch=args.arch,
-            eval_fn=make_backend_eval_fn(engine, max_det=cfg.io.max_det))
+            eval_fn=make_backend_eval_fn(engine, max_det=cfg.io.max_det),
+            iou_thresholds=iou_thresholds)
         variables = None
     mAP = evaluator(variables, epoch=0)
     print(f"mAP: {mAP:.4f}")
+    if "mAP_grid" in getattr(evaluator, "last_metrics", {}):
+        print(f"mAP@[.50:.95]: {evaluator.last_metrics['mAP_grid']:.4f}")
     return 0
 
 
@@ -721,6 +729,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference validate.py parity); any other choice "
                         "scores the DEPLOYED pipeline (BN-folded, detect-"
                         "path NMS) through that backend")
+    e.add_argument("--coco-map", action="store_true",
+                   help="additionally report COCO-style mAP@[.50:.95] "
+                        "(10 IOU thresholds; headline mAP stays @0.5)")
     e.add_argument("--calib-data", default=None,
                    help="calibration image dir for the int8 backends")
     e.add_argument("--calibration-cache", default=None,

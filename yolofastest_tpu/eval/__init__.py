@@ -1,4 +1,6 @@
-from yolofastest_tpu.eval.map_eval import (MAPEvaluator, average_precision,
+from yolofastest_tpu.eval.map_eval import (COCO_IOU_GRID, MAPEvaluator,
+                                           average_precision,
                                            make_backend_eval_fn)
 
-__all__ = ["MAPEvaluator", "average_precision", "make_backend_eval_fn"]
+__all__ = ["COCO_IOU_GRID", "MAPEvaluator", "average_precision",
+           "make_backend_eval_fn"]

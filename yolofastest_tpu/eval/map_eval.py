@@ -39,6 +39,12 @@ from yolofastest_tpu.models import YoloFastest
 from yolofastest_tpu.ops import batched_nms
 
 
+# COCO-style IOU grid for mAP@[.50:.95] (10 thresholds, step 0.05) —
+# pass as MAPEvaluator(iou_thresholds=COCO_IOU_GRID) / CLI `eval --coco-map`.
+# Beyond-reference: validate.py scores a single threshold only.
+COCO_IOU_GRID = tuple(round(0.5 + 0.05 * i, 2) for i in range(10))
+
+
 def make_eval_fn(model: YoloFastest, config: Config):
     """Jitted (variables, images) -> fixed-size detection dict.
 
@@ -167,10 +173,19 @@ class MAPEvaluator:
     """
 
     def __init__(self, config: Config, loader, model: Optional[YoloFastest] = None,
-                 logger=None, arch: str = "fastest", eval_fn=None):
+                 logger=None, arch: str = "fastest", eval_fn=None,
+                 iou_thresholds: Optional[Sequence[float]] = None):
         self.config = config
         self.loader = loader
         self.logger = logger
+        # Matching thresholds.  Default: the reference's single
+        # ``iou_val_thre`` (mAP@0.5, validate.py:62).  Pass the COCO grid
+        # (``COCO_IOU_GRID``) for mAP@[.50:.95] — threshold [0] stays the
+        # headline metric (per-class lines, detection rate, return value);
+        # the grid mean is logged/stored additionally.
+        self.iou_thresholds = (
+            tuple(iou_thresholds) if iou_thresholds
+            else (config.train.iou_val_thre,))
         if eval_fn is not None:
             # Deployment-backend mode (make_backend_eval_fn): the engine owns
             # its weights, no model is built, __call__ takes variables=None.
@@ -189,12 +204,14 @@ class MAPEvaluator:
 
     def __call__(self, variables, epoch: int = 0) -> float:
         io = self.config.io
-        iou_thre = self.config.train.iou_val_thre
+        ts = np.asarray(self.iou_thresholds, np.float64)  # (T,) thresholds
+        n_t = len(ts)
         num_cls = io.num_cls
         h, w = io.input_hw
         target_num = np.zeros(num_cls, np.int64)
-        matches: List[List[Tuple[float, bool]]] = [[] for _ in range(num_cls)]
-        gt_matched = 0  # across all classes, for the detection-rate metric
+        # per class: [(conf, tp-vector over thresholds), ...]
+        matches: List[List[Tuple[float, np.ndarray]]] = [[] for _ in range(num_cls)]
+        gt_matched = 0  # at ts[0], across classes, for detection rate
 
         pad_to = getattr(self.loader, "batch_size", None)
 
@@ -235,41 +252,44 @@ class MAPEvaluator:
                 conf_det = det["conf"][b, :n_det].astype(np.float64)
                 cls_det = det["cls_idx"][b, :n_det].astype(np.int32)
                 if len(gt_cls) == 0:
+                    fp = np.zeros(n_t, bool)
                     for i in range(n_det):
-                        matches[cls_det[i]].append((float(conf_det[i]), False))
+                        matches[cls_det[i]].append((float(conf_det[i]), fp))
                     continue
                 # One vectorised IOU matrix per image, then a greedy pass in
-                # detection (conf-descending NMS) order over a used-GT mask.
+                # detection (conf-descending NMS) order over a used-GT mask —
+                # vectorised across all T thresholds at once (each threshold
+                # keeps its own mask: a det that misses at 0.75 may still
+                # claim the GT a later det would have taken at 0.5).
                 iou_mat = _iou_matrix_p1(det["boxes"][b, :n_det], gt_xyxy)
                 iou_mat = np.where(cls_det[:, None] == gt_cls[None, :],
                                    iou_mat, -1.0)
-                used = np.zeros(len(gt_cls), bool)
+                used = np.zeros((n_t, len(gt_cls)), bool)
+                t_idx = np.arange(n_t)
                 for i in range(n_det):
-                    row = np.where(used, -1.0, iou_mat[i])
-                    j = int(np.argmax(row))  # best unmatched GT (divergence, see module doc)
-                    if row[j] > iou_thre:
-                        used[j] = True
-                        matches[cls_det[i]].append((float(conf_det[i]), True))
-                    else:
-                        matches[cls_det[i]].append((float(conf_det[i]), False))
-                gt_matched += int(used.sum())
+                    rows = np.where(used, -1.0, iou_mat[i][None, :])  # (T, G)
+                    j = rows.argmax(axis=1)  # best unmatched GT (divergence, see module doc)
+                    hit = rows[t_idx, j] > ts
+                    used[hit, j[hit]] = True
+                    matches[cls_det[i]].append((float(conf_det[i]), hit))
+                gt_matched += int(used[0].sum())
 
         log = self.logger.info if self.logger else print
         log("—————— epoch: %d validation results —————" % epoch)
-        mAP = 0.0
-        per_class_ap = []
+        # ap_grid[c][t] = AP of class c at threshold ts[t]; column 0 is the
+        # headline (reference-format per-class lines + returned mAP).
+        ap_grid = np.zeros((num_cls, n_t))
         for c in range(num_cls):
             m = matches[c]
-            ap = average_precision(
-                np.array([x[0] for x in m], np.float64),
-                np.array([x[1] for x in m], bool),
-                int(target_num[c]),
-            )
+            confs = np.array([x[0] for x in m], np.float64)
+            tps = np.array([x[1] for x in m], bool).reshape(-1, n_t)
+            for t in range(n_t):
+                ap_grid[c, t] = average_precision(
+                    confs, tps[:, t], int(target_num[c]))
             log("class: %s, target_num = %d, AP = %.3f"
-                % (io.class_names[c], target_num[c], ap))
-            per_class_ap.append(ap)
-            mAP += ap
-        mAP /= num_cls
+                % (io.class_names[c], target_num[c], ap_grid[c, 0]))
+        per_class_ap = ap_grid[:, 0].tolist()
+        mAP = float(ap_grid[:, 0].mean())
         n_gt = int(target_num.sum())
         # Detection rate = matched GT / total GT — the reference README's
         # second headline metric (README.md:14-21, 检出率), which its code
@@ -282,6 +302,13 @@ class MAPEvaluator:
             "detection_rate": detection_rate,
         }
         log("mean AP: %.3f" % mAP)
+        if n_t > 1:
+            map_grid = float(ap_grid.mean())
+            self.last_metrics["mAP_per_iou"] = {
+                float(t): float(a) for t, a in zip(ts, ap_grid.mean(axis=0))}
+            self.last_metrics["mAP_grid"] = map_grid
+            log("mean AP@[%.2f:%.2f]: %.3f (%d IOU thresholds)"
+                % (ts[0], ts[-1], map_grid, n_t))
         log("detection rate: %.3f (%d/%d targets)"
             % (detection_rate, gt_matched, n_gt))
         log("——————————————————————————")
