@@ -40,7 +40,7 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
         "train", "--config", "256x320",
         "--train-dir", str(root), "--val-dir", str(root),
         "--log-dir", log_dir, "--checkpoint-dir", ckpt_dir,
-        "--epochs", "2", "--batch-size", "8",
+        "--epochs", "2", "--batch-size", "8", "--coco-map",
     ])
     assert rc == 0
 
@@ -48,6 +48,7 @@ def test_cli_train_end_to_end(tmp_path, monkeypatch):
     log = open(os.path.join(log_dir, "train_info.log")).read()
     assert "total_iter" in log and "loss =" in log
     assert "mean AP:" in log  # validation ran (val_after_epoch=0 -> epoch 1)
+    assert "mean AP@[0.50:0.95]:" in log  # --coco-map grid line
 
     # full-state checkpoints per epoch
     assert os.path.isdir(os.path.join(ckpt_dir, "epoch_0"))

@@ -359,8 +359,13 @@ def cmd_train(args) -> int:
                               fmt=args.format)
         val_loader = DetectionLoader(val_idx, cfg, augment=False,
                                      shuffle=False, drop_last=False)
+        iou_thresholds = None
+        if getattr(args, "coco_map", False):
+            from yolofastest_tpu.eval import COCO_IOU_GRID
+            iou_thresholds = COCO_IOU_GRID
         validator = MAPEvaluator(cfg, val_loader, logger=logger,
-                                 arch=args.arch)
+                                 arch=args.arch,
+                                 iou_thresholds=iou_thresholds)
 
     variables = _load_weights(args.pretrained) if args.pretrained else None
     if variables is not None:
@@ -693,6 +698,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "use (N*H*W bytes; epochs >= 2 skip jpeg decode — "
                         "the host input pipeline is the usual TPU training "
                         "bottleneck)")
+    t.add_argument("--coco-map", action="store_true",
+                   help="validation additionally reports COCO-style "
+                        "mAP@[.50:.95] (headline mAP stays @0.5)")
     t.add_argument("--warmup-min-iters", type=int, default=None,
                    help="linear LR warmup lower bound in iterations; the "
                         "reference hard-codes max(3*steps_per_epoch, 1000) "

@@ -323,6 +323,11 @@ class Trainer:
             epoch_info = {"epoch": epoch}
             if validator is not None and epoch > tr.val_after_epoch:
                 epoch_info["mAP"] = validator(self.variables, epoch)
+                # multi-threshold evaluators (eval --coco-map grid) also
+                # surface their grid mean in the history
+                lm = getattr(validator, "last_metrics", {})
+                if "mAP_grid" in lm:
+                    epoch_info["mAP_grid"] = lm["mAP_grid"]
             if checkpoint_dir:
                 self.save_checkpoint(checkpoint_dir, epoch,
                                      max_to_keep=tr.max_to_keep or None)
