@@ -49,11 +49,41 @@ def _percentiles(times_s):
     return float(np.percentile(a, 50)), float(np.percentile(a, 99))
 
 
+def _preflight_device_attach(timeout_s: float = 600.0) -> None:
+    """Fail fast (clear stderr diagnostic, exit 1) if the TPU backend cannot
+    attach, instead of hanging for the driver's whole budget.
+
+    The remote axon tunnel can wedge: ``jax.devices()`` then blocks for
+    30+ minutes before raising UNAVAILABLE (observed during round 3).  The
+    probe subprocess only *enumerates* devices — no compile is in flight —
+    so a timeout kill here cannot wedge the pool further.
+    """
+    import subprocess
+
+    probe = ("import jax; d = jax.devices(); "
+             "print('ATTACH_OK', d[0].platform, d[0].device_kind)")
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench: device attach did not complete within {timeout_s:.0f}s "
+              "(TPU tunnel wedged?) — aborting without numbers", file=sys.stderr)
+        sys.exit(1)
+    if "ATTACH_OK" not in r.stdout:
+        print("bench: device attach failed:\n" + r.stderr[-2000:], file=sys.stderr)
+        sys.exit(1)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--trace", default=None,
                         help="write a jax.profiler trace of the headline loop here")
+    parser.add_argument("--no-preflight", action="store_true",
+                        help="skip the bounded device-attach probe")
     args = parser.parse_args()
+
+    if not args.no_preflight:
+        _preflight_device_attach()
 
     import jax
     import jax.numpy as jnp
