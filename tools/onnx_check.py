@@ -7,7 +7,8 @@ onnxruntime / the ncnn converter plays for the reference's exported ONNX,
 exporter (``yolofastest_tpu/export/onnx.py``) beyond the public protobuf +
 ONNX specs: a from-scratch wire-format decoder feeding a small numpy
 executor for the standard ops our graphs use (Conv, ConvTranspose, Relu,
-Add, Concat, Identity).
+Add, Concat, Identity, and the QDQ pair QuantizeLinear/DequantizeLinear
+for the int8 artifact).
 
 Usage:
     python tools/onnx_check.py model.onnx imgs.npy out.npz
@@ -89,6 +90,8 @@ def _tensor(buf):
             floats += ([struct.unpack("<f", struct.pack("<I", v))[0]]
                        if w == 5 else
                        list(struct.unpack(f"<{len(v) // 4}f", v)))
+    if dtype == 3:  # INT8 (QDQ-form quantized weights / zero points)
+        return name, np.frombuffer(raw, np.int8).reshape(dims)
     assert dtype == 1, f"only FLOAT initializers supported, got {dtype}"
     data = (np.frombuffer(raw, "<f4") if raw is not None
             else np.asarray(floats, np.float32))
@@ -186,6 +189,22 @@ def run(nodes, init, feeds):
             y = np.concatenate(a, axis=attrs["axis"])
         elif op == "Identity":
             y = a[0]
+        elif op == "QuantizeLinear":
+            # y = saturate(round_half_even(x / scale) + zp), dtype from zp
+            zp = a[2] if len(a) > 2 else np.uint8(0)
+            lo, hi = (-128, 127) if zp.dtype == np.int8 else (0, 255)
+            y = np.clip(np.round(a[0] / a[1]) + zp.astype(np.int32),
+                        lo, hi).astype(zp.dtype)
+        elif op == "DequantizeLinear":
+            scale = a[1]
+            zp = a[2].astype(np.int32) if len(a) > 2 else 0
+            if scale.ndim:  # per-axis: broadcast along attrs["axis"]
+                shape = [1] * a[0].ndim
+                shape[attrs.get("axis", 1)] = scale.size
+                scale = scale.reshape(shape)
+                if np.ndim(zp):
+                    zp = zp.reshape(shape)
+            y = ((a[0].astype(np.int32) - zp) * scale).astype(np.float32)
         else:
             raise NotImplementedError(f"op {op}")
         env[outs[0]] = y

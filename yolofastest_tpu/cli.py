@@ -528,6 +528,14 @@ def cmd_export(args) -> int:
     export_onnx(folded, cfg.io.input_hw, os.path.join(args.out, "model.onnx"),
                 arch=graph_arch)
     print("wrote", os.path.join(args.out, "model.onnx"))
+    if act_scales is not None:
+        from yolofastest_tpu.export import export_onnx_qdq
+
+        export_onnx_qdq(quantize_weights(int8_src), act_scales,
+                        cfg.io.input_hw,
+                        os.path.join(args.out, "model_int8.onnx"),
+                        arch=graph_arch)
+        print("wrote", os.path.join(args.out, "model_int8.onnx"))
 
     try:
         from yolofastest_tpu.export import export_torchscript

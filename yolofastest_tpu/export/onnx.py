@@ -14,7 +14,10 @@ topology walk (:func:`yolofastest_tpu.models.graph.walk_topology`) that
 drives every other backend, via an executor whose "tensors" are ONNX value
 names and whose ops append ``NodeProto``s.  Standard opset 13, NCHW, the
 exact op set the reference's exported ONNX uses: Conv / Relu / Add /
-Concat / ConvTranspose.
+Concat / ConvTranspose.  :func:`export_onnx_qdq` additionally serialises
+the int8-quantised graph in QDQ form (QuantizeLinear / DequantizeLinear,
+int8 initializers) so standard runtimes can execute the deployed
+quantisation.
 
 I/O convention matches the reference's exported models: conv-only graph
 (no sigmoid/decode inside — SURVEY.md §3.5), input ``input`` is normalized
@@ -78,6 +81,7 @@ def _packed_ints(field: int, values) -> bytes:
 
 # ------------------------------------------------------------ ONNX messages
 _FLOAT = 1  # TensorProto.DataType.FLOAT
+_INT8 = 3  # TensorProto.DataType.INT8
 _ATTR_INT, _ATTR_INTS = 2, 7  # AttributeProto.AttributeType
 
 
@@ -86,6 +90,13 @@ def _tensor(name: str, array: np.ndarray) -> bytes:
     a = np.ascontiguousarray(array, dtype=np.float32)
     return (_packed_ints(1, a.shape) + _i(2, _FLOAT) + _s(8, name)
             + _ld(9, a.tobytes()))  # raw_data is little-endian on all hosts we target
+
+
+def _tensor_i8(name: str, array: np.ndarray) -> bytes:
+    """Int8 TensorProto (quantized weights / zero points)."""
+    a = np.ascontiguousarray(array, dtype=np.int8)
+    return (_packed_ints(1, a.shape) + _i(2, _INT8) + _s(8, name)
+            + _ld(9, a.tobytes()))
 
 
 def _attr_int(name: str, value: int) -> bytes:
@@ -201,8 +212,15 @@ def export_onnx(folded: Dict[str, Dict[str, Any]], input_hw, path: str,
     TorchScript/StableHLO artifacts, which are shape-specialised).
     Returns ``path``.
     """
-    walk = {"yolofastest": walk_topology, "yolofastest-lite": walk_topology_lite}[arch]
     ex = _OnnxExecutor(folded)
+    num_out = int(folded["head_5"]["kernel"].shape[-1])
+    return _serialize(ex, arch, input_hw, num_out, path)
+
+
+def _serialize(ex: _OnnxExecutor, arch: str, input_hw, num_out: int,
+               path: str) -> str:
+    """Walk the topology with ``ex`` and write the ModelProto."""
+    walk = {"yolofastest": walk_topology, "yolofastest-lite": walk_topology_lite}[arch]
     result = walk("input", ex)
 
     if arch == "yolofastest":
@@ -216,7 +234,6 @@ def export_onnx(folded: Dict[str, Dict[str, Any]], input_hw, path: str,
         ex.nodes.append(_node("Identity", [internal], [public], f"out_{public}"))
 
     h, w = input_hw
-    num_out = int(folded["head_5"]["kernel"].shape[-1])
     graph = b"".join(_ld(1, n) for n in ex.nodes)
     graph += _s(2, f"{arch}_{h}x{w}")
     graph += b"".join(_ld(5, t) for t in ex.initializers)
@@ -230,3 +247,90 @@ def export_onnx(folded: Dict[str, Dict[str, Any]], input_hw, path: str,
     with open(path, "wb") as f:
         f.write(model)
     return path
+
+
+# --------------------------------------------------------------- QDQ (int8)
+class _QdqOnnxExecutor(_OnnxExecutor):
+    """QDQ-form int8 graph: every conv/deconv/head input passes through
+    QuantizeLinear→DequantizeLinear at its *calibrated* per-tensor scale and
+    weights ship as int8 initializers dequantised per output channel —
+    exactly the quantisation :class:`~yolofastest_tpu.quant.ptq.Int8Executor`
+    applies on device (symmetric, zero-point 0, scale ``amax/127``,
+    round-half-to-even), so a QDQ-aware runtime (e.g. onnxruntime) can fuse
+    the patterns into real int8 kernels while a plain runtime executes the
+    equivalent fake-quant float graph.
+
+    Known spec divergence: ONNX saturates int8 to [-128, 127]; our executors
+    clip to [-127, 127] (``ptq.py``), so a fully saturated negative
+    activation can differ by one LSB.
+    """
+
+    def __init__(self, qparams: Dict[str, Dict[str, Any]],
+                 act_scales: Dict[str, float]):
+        super().__init__(qparams)
+        self.act_scales = act_scales
+
+    def _qdq_in(self, x: str, name: str) -> str:
+        s = float(self.act_scales[name])
+        sn, zn = f"{name}.x_scale", f"{name}.x_zp"
+        self.initializers.append(_tensor(sn, np.float32(s)))
+        # explicit int8 zero point: it selects the quantized dtype
+        self.initializers.append(_tensor_i8(zn, np.int8(0)))
+        q, dq = f"{name}.x_q", f"{name}.x_dq"
+        self.nodes.append(_node("QuantizeLinear", [x, sn, zn], [q], q))
+        self.nodes.append(_node("DequantizeLinear", [q, sn, zn], [dq], dq))
+        return dq
+
+    def _weights(self, name: str, depthwise: bool, deconv: bool = False):
+        kq = np.asarray(self.p[name]["kernel_q"], np.int8)
+        # same layout moves as the fp exporter; deconv puts the OUTPUT
+        # channel on axis 1 of (Cin, Cout, kh, kw), everything else on axis 0
+        kq = kq.transpose((2, 3, 0, 1) if deconv else (3, 2, 0, 1))
+        axis = 1 if deconv else 0
+        qn, sn = f"{name}.weight_q", f"{name}.w_scale"
+        self.initializers.append(_tensor_i8(qn, kq))
+        self.initializers.append(
+            _tensor(sn, np.asarray(self.p[name]["w_scale"], np.float32)))
+        wn = f"{name}.weight"
+        # zero_point omitted: defaults to 0 with x's (int8) type
+        self.nodes.append(_node("DequantizeLinear", [qn, sn], [wn], wn,
+                                [_attr_int("axis", axis)]))
+        bn = f"{name}.bias"
+        self.initializers.append(
+            _tensor(bn, np.asarray(self.p[name]["bias"], np.float32)))
+        return wn, bn
+
+    def conv(self, x, name, kernel, stride=1, depthwise=False, act=True):
+        groups = int(self.p[name]["kernel_q"].shape[-1]) if depthwise else 1
+        wn, bn = self._weights(name, depthwise)
+        y = self._conv(self._qdq_in(x, name), name, kernel, stride, groups,
+                       (kernel - 1) // 2, wn, bn)
+        return self._relu(y) if act else y
+
+    def deconv2x(self, x, name):
+        wn, bn = self._weights(name, depthwise=False, deconv=True)
+        y = self._conv(self._qdq_in(x, name), name, 2, 2, 1, 0, wn, bn,
+                       op="ConvTranspose")
+        return self._relu(y)
+
+    def head(self, x, name):
+        wn, bn = self._weights(name, depthwise=False)
+        return self._conv(self._qdq_in(x, name), name, 1, 1, 1, 0, wn, bn)
+
+
+def export_onnx_qdq(qparams: Dict[str, Dict[str, Any]],
+                    act_scales: Dict[str, float], input_hw, path: str,
+                    arch: str = "yolofastest") -> str:
+    """Serialise the int8-quantised graph as QDQ-form ONNX.
+
+    ``qparams`` is :func:`~yolofastest_tpu.quant.ptq.quantize_weights`
+    output; ``act_scales`` comes from
+    :func:`~yolofastest_tpu.quant.ptq.calibrate`.  The artifact is the
+    portable equivalent of ``model_int8.yfb`` — the deployment the
+    reference's NPU pipeline aspired to (int8 was its listed future work,
+    ``rknn_deploy.py:43``) in the format its toolchain consumed
+    (``pytorch_to_onnx.py:17-23``).  Returns ``path``.
+    """
+    ex = _QdqOnnxExecutor(qparams, act_scales)
+    num_out = int(qparams["head_5"]["kernel_q"].shape[-1])
+    return _serialize(ex, arch, input_hw, num_out, path)
