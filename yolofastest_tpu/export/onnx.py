@@ -34,7 +34,6 @@ committed reference golden logits.
 
 from __future__ import annotations
 
-import struct
 from typing import Any, Dict, List, Tuple
 
 import numpy as np

@@ -20,7 +20,7 @@ centres — same geometry as OpenCV, float arithmetic).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Used by :class:`yolofastest_tpu.train.Trainer` and the multi-chip dry run
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np
