@@ -133,10 +133,16 @@ def test_cli_eval_coco_format(tmp_path, monkeypatch):
     outs = {}
     for name, d in (("voc", voc), ("coco", coco)):
         logdir = str(tmp_path / f"logs_{name}")
+        jpath = str(tmp_path / f"metrics_{name}.json")
         rc = main(["eval", "--config", "256x320", "--weights", wpath,
-                   "--val-dir", d, "--log-dir", logdir])
+                   "--val-dir", d, "--log-dir", logdir,
+                   "--coco-map", "--json-out", jpath])
         assert rc == 0
         log = open(os.path.join(logdir, "eval_info.log")).read()
         outs[name] = [l.split("——")[-1] for l in log.splitlines()
                       if "mean AP" in l or "detection rate" in l]
+        m = json.load(open(jpath))
+        assert {"mAP", "mAP_grid", "mAP_per_iou", "per_class_ap",
+                "target_num", "detection_rate"} <= set(m)
+        assert len(m["mAP_per_iou"]) == 10
     assert outs["voc"] == outs["coco"] and outs["voc"]

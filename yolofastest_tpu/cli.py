@@ -466,6 +466,14 @@ def cmd_eval(args) -> int:
     print(f"mAP: {mAP:.4f}")
     if "mAP_grid" in getattr(evaluator, "last_metrics", {}):
         print(f"mAP@[.50:.95]: {evaluator.last_metrics['mAP_grid']:.4f}")
+    if getattr(args, "json_out", None):
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump({"config": args.config, "arch": args.arch,
+                       "backend": backend, "weights": args.weights,
+                       **evaluator.last_metrics}, f, indent=1)
+        print("wrote", args.json_out)
     return 0
 
 
@@ -748,6 +756,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--coco-map", action="store_true",
                    help="additionally report COCO-style mAP@[.50:.95] "
                         "(10 IOU thresholds; headline mAP stays @0.5)")
+    e.add_argument("--json-out", default=None,
+                   help="also write the full metrics dict (per-class AP, "
+                        "target counts, detection rate, per-IOU grid) as "
+                        "JSON to this path")
     e.add_argument("--calib-data", default=None,
                    help="calibration image dir for the int8 backends")
     e.add_argument("--calibration-cache", default=None,
