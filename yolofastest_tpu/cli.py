@@ -269,7 +269,8 @@ def cmd_serve(args) -> int:
     from yolofastest_tpu.inference import (DetectionServer, DynamicBatcher,
                                            make_batch_fn)
 
-    batcher = DynamicBatcher(make_batch_fn(engine), cfg.io.input_hw,
+    batcher = DynamicBatcher(make_batch_fn(engine, max_det=cfg.io.max_det),
+                             cfg.io.input_hw,
                              max_batch=args.max_batch,
                              window_ms=args.window_ms)
     server = DetectionServer(batcher, cfg, host=args.host, port=args.port,
@@ -520,15 +521,17 @@ def cmd_export(args) -> int:
             int8_src, hist = qat_finetune(folded, act_scales, [cal],
                                           arch=arch, steps=args.qat_steps,
                                           lr=args.qat_lr)
-            print("QAT distillation: loss %.3e -> %.3e over %d steps"
-                  % (hist[0], hist[-1], len(hist)))
+            # qat_finetune ships the LOWEST-loss iterate (STE trajectories
+            # are noisy), so report min(hist) — that is the exported point
+            print("QAT distillation: loss %.3e -> %.3e (best of %d steps)"
+                  % (hist[0], min(hist), len(hist)))
 
     save_native_weights(folded, os.path.join(args.out, "model.yfb"))
     print("wrote", os.path.join(args.out, "model.yfb"))
     # with --calib-data, the int8 .yfb also carries activation scales, so
     # the C++ engine runs real int8 arithmetic on it (cpp/src/ops_int8.cpp)
-    save_native_weights(quantize_weights(int8_src),
-                        os.path.join(args.out, "model_int8.yfb"),
+    qparams = quantize_weights(int8_src)
+    save_native_weights(qparams, os.path.join(args.out, "model_int8.yfb"),
                         act_scales=act_scales)
     print("wrote", os.path.join(args.out, "model_int8.yfb"))
 
@@ -539,8 +542,7 @@ def cmd_export(args) -> int:
     if act_scales is not None:
         from yolofastest_tpu.export import export_onnx_qdq
 
-        export_onnx_qdq(quantize_weights(int8_src), act_scales,
-                        cfg.io.input_hw,
+        export_onnx_qdq(qparams, act_scales, cfg.io.input_hw,
                         os.path.join(args.out, "model_int8.onnx"),
                         arch=graph_arch)
         print("wrote", os.path.join(args.out, "model_int8.onnx"))

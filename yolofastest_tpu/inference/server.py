@@ -49,11 +49,13 @@ BatchFn = Callable[[np.ndarray, int], List[List[List[float]]]]
 MAX_BODY_BYTES = 32 * 1024 * 1024
 
 
-def make_batch_fn(engine: Any) -> BatchFn:
+def make_batch_fn(engine: Any, max_det: int = 64) -> BatchFn:
     """Adapt a :class:`~yolofastest_tpu.inference.Detector` (jax backends —
     uses the packed single-transfer path) or a
     :class:`~yolofastest_tpu.native.NativeEngine` (per-image C++ engine)
-    to the :class:`DynamicBatcher` contract."""
+    to the :class:`DynamicBatcher` contract.  ``max_det`` caps the native
+    engine's per-image detections (pass ``config.io.max_det`` so every
+    backend serves the same cap; the jax engines already bake it in)."""
     if hasattr(engine, "run_packed"):
         from yolofastest_tpu.inference.detector import detections_to_lists
         from yolofastest_tpu.ops import unpack_detections
@@ -65,7 +67,8 @@ def make_batch_fn(engine: Any) -> BatchFn:
         return batch_fn
     if hasattr(engine, "detect"):
         def batch_fn(batch: np.ndarray, n: int) -> List[List[List[float]]]:
-            return [[list(map(float, row)) for row in engine.detect(img[..., 0])]
+            return [[list(map(float, row))
+                     for row in engine.detect(img[..., 0], max_det=max_det)]
                     for img in batch[:n]]
 
         return batch_fn
@@ -103,6 +106,7 @@ class DynamicBatcher:
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self._q: "queue.SimpleQueue[Optional[_Request]]" = queue.SimpleQueue()
+        self._closed = False
         self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0,
                       "errors": 0}
         # observability: per-request queue+execute latency (bounded ring,
@@ -130,6 +134,8 @@ class DynamicBatcher:
         if net_in.shape != (*self._hw, 1):
             raise ValueError(
                 f"expected net input {(*self._hw, 1)}, got {net_in.shape}")
+        if self._closed:
+            raise RuntimeError("batcher is closed")
         req = _Request(net_in)
         self._q.put(req)
         if not req.done.wait(timeout):
@@ -139,8 +145,20 @@ class DynamicBatcher:
         return req.rows  # type: ignore[return-value]
 
     def close(self) -> None:
+        self._closed = True
         self._q.put(None)
         self._worker.join(timeout=5)
+        # Fail-fast drain: a submit() that won the race against the closed
+        # flag (enqueued after the worker consumed the sentinel) must not
+        # block for its full timeout — fail it now.
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None:
+                req.error = RuntimeError("batcher closed during submit")
+                req.done.set()
 
     # --------------------------------------------------------------- worker
     def _run(self) -> None:
