@@ -49,12 +49,14 @@ def _percentiles(times_s):
     return float(np.percentile(a, 50)), float(np.percentile(a, 99))
 
 
-def _preflight_device_attach(timeout_s: float = 600.0) -> None:
+def _preflight_device_attach(timeout_s: float = 600.0,
+                             attempts: int = 3) -> None:
     """Fail fast (clear stderr diagnostic, exit 1) if the TPU backend cannot
     attach, instead of hanging for the driver's whole budget.
 
-    The remote axon tunnel can wedge: ``jax.devices()`` then blocks for
-    30+ minutes before raising UNAVAILABLE (observed during round 3).  The
+    The remote axon tunnel can wedge: ``jax.devices()`` then blocks ~25 min
+    before raising UNAVAILABLE, and recovery windows come and go (observed
+    during round 3) — so retry a few bounded probes before giving up.  The
     probe subprocess only *enumerates* devices — no compile is in flight —
     so a timeout kill here cannot wedge the pool further.
     """
@@ -62,16 +64,25 @@ def _preflight_device_attach(timeout_s: float = 600.0) -> None:
 
     probe = ("import jax; d = jax.devices(); "
              "print('ATTACH_OK', d[0].platform, d[0].device_kind)")
-    try:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        print(f"bench: device attach did not complete within {timeout_s:.0f}s "
-              "(TPU tunnel wedged?) — aborting without numbers", file=sys.stderr)
-        sys.exit(1)
-    if "ATTACH_OK" not in r.stdout:
-        print("bench: device attach failed:\n" + r.stderr[-2000:], file=sys.stderr)
-        sys.exit(1)
+    last = ""
+    for i in range(attempts):
+        if i:
+            time.sleep(60)
+            print(f"bench: attach retry {i + 1}/{attempts}", file=sys.stderr)
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last = f"attach did not complete within {timeout_s:.0f}s"
+            continue
+        if "ATTACH_OK" in r.stdout:
+            return
+        last = r.stderr[-2000:]
+    print("bench: device attach failed after "
+          f"{attempts} attempts (TPU tunnel wedged?) — aborting without "
+          "numbers:\n" + last, file=sys.stderr)
+    sys.exit(1)
 
 
 def main():
