@@ -14,6 +14,7 @@ Here one typed config (``configs/``) + argparse drive every workflow:
   convert   reference .pth -> zoo .npz
   txt2xml   custom txt labels -> VOC XML (reference utils/txt2xml.py)
   voc2coco  VOC-layout dataset -> COCO layout
+  anchors   k-means auto-anchors from a dataset's GT boxes
 """
 
 from __future__ import annotations
@@ -35,6 +36,18 @@ def _check_arch_config(cfg, arch: str) -> None:
             f"{n_groups} anchor group(s); use "
             f"{'a lite-* config preset' if arch == 'lite' else 'a non-lite config preset'}"
         )
+
+
+def _get_config(args):
+    """Resolve the command's Config: ``--config-json FILE`` (a serialized
+    ``Config.to_json``, e.g. written by ``anchors --out``) wins over the
+    ``--config`` preset name."""
+    from yolofastest_tpu.configs import Config, get_config
+
+    if getattr(args, "config_json", None):
+        with open(args.config_json) as f:
+            return Config.from_json(f.read())
+    return get_config(args.config)
 
 
 def _load_weights(path: str):
@@ -128,10 +141,9 @@ def _native_int8_scales(args, cfg, folded, data_dir):
 
 
 def cmd_detect(args) -> int:
-    from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.utils.logging import config_logger
 
-    cfg = get_config(args.config)
+    cfg = _get_config(args)
     _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     logger = config_logger(args.out, "detect_info.log")
     os.makedirs(args.out, exist_ok=True)
@@ -257,9 +269,8 @@ def cmd_serve(args) -> int:
     """HTTP detection server with dynamic batching (the serving-traffic
     analogue of the reference's one-image-at-a-time detect loops —
     ``detect.py:141-192``; see ``inference/server.py``)."""
-    from yolofastest_tpu.configs import get_config
 
-    cfg = get_config(args.config)
+    cfg = _get_config(args)
     _check_arch_config(cfg, args.arch)
     backend = "fp" if args.backend == "jax" else args.backend  # legacy alias
     engine = _build_engine(args, cfg, backend, args.calib_data)
@@ -292,10 +303,9 @@ def cmd_video(args) -> int:
     see ``inference/video.py``)."""
     import json
 
-    from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.utils.logging import config_logger
 
-    cfg = get_config(args.config)
+    cfg = _get_config(args)
     _check_arch_config(cfg, args.arch)
     os.makedirs(args.out, exist_ok=True)
     logger = config_logger(args.out, "video_info.log")
@@ -324,14 +334,13 @@ def cmd_video(args) -> int:
 def cmd_train(args) -> int:
     import dataclasses
 
-    from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.data import DetectionLoader, VOCIndex
     from yolofastest_tpu.eval import MAPEvaluator
     from yolofastest_tpu.train import Trainer
     from yolofastest_tpu.utils.logging import config_logger
     from yolofastest_tpu.utils.metrics import MetricsWriter
 
-    cfg = get_config(args.config)
+    cfg = _get_config(args)
     _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     tr = dataclasses.replace(
         cfg.train,
@@ -421,12 +430,11 @@ def cmd_train(args) -> int:
 
 
 def cmd_eval(args) -> int:
-    from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.data import DetectionLoader, VOCIndex
     from yolofastest_tpu.eval import MAPEvaluator
     from yolofastest_tpu.utils.logging import config_logger
 
-    cfg = get_config(args.config)
+    cfg = _get_config(args)
     _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     logger = config_logger(args.log_dir, "eval_info.log")
     idx = _make_index(args.val_dir, cfg.io.class_names, logger,
@@ -479,7 +487,6 @@ def cmd_eval(args) -> int:
 
 
 def cmd_export(args) -> int:
-    from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.export import (
         export_detect_pipeline,
         export_folded_forward,
@@ -491,7 +498,7 @@ def cmd_export(args) -> int:
     from yolofastest_tpu.models import fold_batchnorm
     from yolofastest_tpu.quant import quantize_weights
 
-    cfg = get_config(args.config)
+    cfg = _get_config(args)
     _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     arch = getattr(args, "arch", "fastest")
     variables = _load_weights(args.weights)
@@ -602,12 +609,51 @@ def cmd_txt2xml(args) -> int:
     return 0
 
 
+def cmd_anchors(args) -> int:
+    """K-means auto-anchors from a dataset (the reference hand-picks its
+    anchor groups, ``_config.py:5-9``; this derives them for any dataset)."""
+    import dataclasses
+
+    import numpy as np
+
+    from yolofastest_tpu.data import (anchor_groups, collect_wh,
+                                      kmeans_anchors, mean_best_iou)
+
+    cfg = _get_config(args)
+    idx = _make_index(args.data, cfg.io.class_names, fmt=args.format)
+    wh = collect_wh(idx, cfg)
+    num_scales = len(cfg.io.strides)
+    k = args.num or num_scales * cfg.io.num_anchors
+    anchors = kmeans_anchors(wh, k, seed=args.seed)
+    groups = anchor_groups(anchors, num_scales)
+
+    old_fit = mean_best_iou(wh, np.array(cfg.io.anchors).reshape(-1, 2))
+    new_fit = mean_best_iou(wh, anchors)
+    print(f"{len(wh)} GT boxes from {len(idx)} images "
+          f"({args.data}, net input {cfg.io.input_hw})")
+    for s, (g, stride) in enumerate(zip(groups, cfg.io.strides)):
+        print(f"scale {s} (stride {stride}): "
+              + ", ".join(f"({w:g}, {h:g})" for w, h in g))
+    print(f"mean best-IoU: {new_fit:.4f} (preset anchors: {old_fit:.4f})")
+
+    if args.out:
+        new_cfg = dataclasses.replace(
+            cfg, io=dataclasses.replace(cfg.io, anchors=groups))
+        with open(args.out, "w") as f:
+            f.write(new_cfg.to_json())
+        print(f"wrote config with the new anchors -> {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="yolofastest_tpu")
     sub = p.add_subparsers(dest="command", required=True)
 
     d = sub.add_parser("detect", help="batch-detect a directory of images")
     d.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
+    d.add_argument("--config-json", default=None,
+                   help="Config JSON file (e.g. from anchors --out); "
+                        "overrides --config")
     d.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
     d.add_argument("--data", required=True)
     d.add_argument("--out", required=True)
@@ -633,6 +679,9 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("serve",
                        help="HTTP detection server with dynamic batching")
     s.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
+    s.add_argument("--config-json", default=None,
+                   help="Config JSON file (e.g. from anchors --out); "
+                        "overrides --config")
     s.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
     s.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
     s.add_argument("--backend", default="fp",
@@ -659,6 +708,9 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("video",
                        help="detect over a video file -> annotated video")
     v.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
+    v.add_argument("--config-json", default=None,
+                   help="Config JSON file (e.g. from anchors --out); "
+                        "overrides --config")
     v.add_argument("--weights", required=True, help=".npz zoo file or reference .pth")
     v.add_argument("--video", required=True,
                    help="input video path, stream URL, or camera index "
@@ -696,6 +748,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "coco = <dir>/img + <dir>/annotations.json; "
                         "auto picks by the annotations.json presence")
     t.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
+    t.add_argument("--config-json", default=None,
+                   help="Config JSON file (e.g. from anchors --out); "
+                        "overrides --config")
     t.add_argument("--train-dir", required=True)
     t.add_argument("--val-dir", default=None)
     t.add_argument("--epochs", type=int, default=None)
@@ -745,6 +800,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "voc", "coco"],
                    help="dataset layout (see train --format)")
     e.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
+    e.add_argument("--config-json", default=None,
+                   help="Config JSON file (e.g. from anchors --out); "
+                        "overrides --config")
     e.add_argument("--weights", required=True)
     e.add_argument("--val-dir", required=True)
     e.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
@@ -773,6 +831,9 @@ def build_parser() -> argparse.ArgumentParser:
     x = sub.add_parser("export",
                        help="export StableHLO + ONNX + TorchScript + native .yfb")
     x.add_argument("--config", default="256x320", choices=["256x320", "512x640", "lite-256x320", "lite-512x640"])
+    x.add_argument("--config-json", default=None,
+                   help="Config JSON file (e.g. from anchors --out); "
+                        "overrides --config")
     x.add_argument("--weights", required=True)
     x.add_argument("--out", required=True)
     x.add_argument("--batch", type=int, default=1)
@@ -812,6 +873,24 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--dst", required=True)
     tx.add_argument("--class-id-base", type=int, default=0)
     tx.set_defaults(fn=cmd_txt2xml)
+
+    an = sub.add_parser("anchors",
+                        help="k-means auto-anchors from a dataset's GT boxes")
+    an.add_argument("--config", default="256x320",
+                    choices=["256x320", "512x640", "lite-256x320",
+                             "lite-512x640"],
+                    help="supplies net-input size, strides and the preset "
+                         "anchors to compare against")
+    an.add_argument("--data", required=True, help="VOC or COCO dataset root")
+    an.add_argument("--format", default="auto", choices=["auto", "voc", "coco"])
+    an.add_argument("--num", type=int, default=None,
+                    help="total anchor count (default: scales * "
+                         "anchors-per-scale from the config)")
+    an.add_argument("--seed", type=int, default=0)
+    an.add_argument("--out", default=None,
+                    help="write a full config JSON carrying the new anchors "
+                         "(consumable via train/eval --config-json)")
+    an.set_defaults(fn=cmd_anchors)
     return p
 
 

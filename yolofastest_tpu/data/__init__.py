@@ -2,8 +2,14 @@ from yolofastest_tpu.data.voc import VOCIndex, parse_voc_xml, write_voc_xml
 from yolofastest_tpu.data.coco import (COCOIndex, parse_coco_json,
                                        voc_to_coco, write_coco_json)
 from yolofastest_tpu.data.pipeline import DetectionLoader, load_example
+from yolofastest_tpu.data.anchors import (anchor_groups, collect_wh,
+                                          kmeans_anchors, mean_best_iou)
 
 __all__ = [
+    "anchor_groups",
+    "collect_wh",
+    "kmeans_anchors",
+    "mean_best_iou",
     "VOCIndex",
     "parse_voc_xml",
     "write_voc_xml",
