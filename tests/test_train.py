@@ -338,3 +338,71 @@ def test_loader_cache_identical_and_decodes_once(tmp_path, monkeypatch):
             np.testing.assert_array_equal(pt, ct)
     # plain: 12 imgs x 2 epochs x 2 loaders? no - plain decodes 24, cached 12
     assert calls["n"] == 24 + 12
+
+
+def test_mosaic_geometry_translates_and_clips_boxes():
+    """Each quadrant shows the right corner crop and a full-image box becomes
+    exactly that quadrant's rectangle (translation + clip, no scaling
+    surprises)."""
+    from yolofastest_tpu.data.pipeline import mosaic_example
+
+    cfg = tiny_config()
+    h, w = cfg.io.input_hw          # 64, 96
+    h0, w0 = cfg.io.origin_img_shape[:2]  # 128, 192
+    grays = [np.full((h, w), 40 * (i + 1), np.uint8) for i in range(4)]
+    full_box = np.array([[float(i), 0.0, 0.0, w0, h0] for i in range(4)],
+                        np.float32)
+    rng = np.random.default_rng(3)
+    canvas, labels = mosaic_example(grays, [full_box[i : i + 1]
+                                            for i in range(4)], cfg, rng)
+    assert canvas.shape == (h, w) and labels.shape == (4, 5)
+    # recover the split point from the canvas itself
+    cy = int(np.argmax(canvas[:, 0] != canvas[0, 0]))
+    cx = int(np.argmax(canvas[0] != canvas[0, 0]))
+    assert 0 < cx < w and 0 < cy < h
+    assert (canvas[:cy, :cx] == 40).all() and (canvas[:cy, cx:] == 80).all()
+    assert (canvas[cy:, :cx] == 120).all() and (canvas[cy:, cx:] == 160).all()
+    # labels come back in ORIGIN pixels; scale to net-input and compare
+    kx, ky = w / float(w0), h / float(h0)
+    got = labels[np.argsort(labels[:, 0])]
+    want = np.array([
+        [0, 0, 0, cx, cy], [1, cx, 0, w, cy],
+        [2, 0, cy, cx, h], [3, cx, cy, w, h]], np.float32)
+    np.testing.assert_allclose(got[:, 1:] * [kx, ky, kx, ky], want[:, 1:],
+                               atol=1e-4)
+    np.testing.assert_array_equal(got[:, 0], want[:, 0])
+
+
+def test_mosaic_drops_slivers_and_handles_empty():
+    from yolofastest_tpu.data.pipeline import mosaic_example
+
+    cfg = tiny_config()
+    h, w = cfg.io.input_hw
+    grays = [np.zeros((h, w), np.uint8)] * 4
+    # a 1-origin-px box clips to < 2 net px everywhere -> dropped
+    tiny = np.array([[0.0, 0.0, 0.0, 1.0, 1.0]], np.float32)
+    empty = np.zeros((0, 5), np.float32)
+    canvas, labels = mosaic_example(grays, [tiny, empty, empty, empty],
+                                    cfg, np.random.default_rng(0))
+    assert labels.shape[1] == 5 and len(labels) <= 1
+    canvas, labels = mosaic_example(grays, [empty] * 4, cfg,
+                                    np.random.default_rng(0))
+    assert labels.shape == (0, 5)
+
+
+def test_loader_mosaic_yields_valid_batches(dataset):
+    """mosaic=1.0 through the loader (with image cache) still yields the
+    padded-target contract: normalised coords in [0,1], valid rows marked."""
+    import dataclasses
+
+    root, cfg = dataset
+    cfg = dataclasses.replace(
+        cfg, augment=dataclasses.replace(cfg.augment, mosaic=1.0))
+    idx = VOCIndex(root, cfg.io.class_names)
+    loader = DetectionLoader(idx, cfg, batch_size=8, seed=11, cache=True)
+    imgs, tgts = next(iter(loader))
+    assert imgs.shape == (8, 64, 96, 1)
+    valid = tgts[tgts[:, :, 5] == 255.0]
+    assert len(valid) > 0
+    assert np.all((valid[:, :4] >= 0) & (valid[:, :4] <= 1))
+    assert np.isfinite(imgs).all()

@@ -354,6 +354,9 @@ def cmd_train(args) -> int:
                           else args.warmup_min_iters),
     )
     cfg = dataclasses.replace(cfg, train=tr)
+    if getattr(args, "mosaic", None):
+        cfg = dataclasses.replace(
+            cfg, augment=dataclasses.replace(cfg.augment, mosaic=args.mosaic))
 
     logger = config_logger(args.log_dir, "train_info.log")
     logger.info("Start....")
@@ -774,6 +777,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--coco-map", action="store_true",
                    help="validation additionally reports COCO-style "
                         "mAP@[.50:.95] (headline mAP stays @0.5)")
+    t.add_argument("--mosaic", type=float, default=None,
+                   help="probability of 4-image mosaic augmentation per "
+                        "example (beyond-reference; default 0 = reference "
+                        "pipeline unchanged)")
     t.add_argument("--warmup-min-iters", type=int, default=None,
                    help="linear LR warmup lower bound in iterations; the "
                         "reference hard-codes max(3*steps_per_epoch, 1000) "

@@ -75,6 +75,10 @@ class AugmentConfig:
     val_dataset_dir: str = ""
     fliplr: float = 0.5
     gaussian_filter: float = 0.3
+    # Mosaic (4-image collage) probability — beyond-reference augmentation,
+    # default OFF so the reference pipeline stays bit-identical.  When it
+    # fires, blur/fliplr still apply to the composed canvas.
+    mosaic: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

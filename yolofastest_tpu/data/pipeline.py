@@ -95,6 +95,67 @@ def load_example(
     return img[:, :, None], out
 
 
+def mosaic_example(grays, labels_list, config: Config,
+                   rng: np.random.Generator):
+    """Compose four decoded net-input images into one mosaic canvas.
+
+    Beyond-reference augmentation (the reference has blur + fliplr only,
+    ``detect_dataset.py:131-143``): a random center point splits the canvas
+    into four quadrants; image *i* fills quadrant *i* with the corner crop
+    that fits, so the canvas has no padding seams.  Box labels follow their
+    pixels and are clipped to the visible crop; slivers (< 2 px a side after
+    clipping) are dropped.
+
+    Args:
+      grays: four ``(H, W) uint8`` net-input images (quadrant order TL, TR,
+        BL, BR).
+      labels_list: four ``(N, 5)`` arrays, rows ``(cls, x1, y1, x2, y2)`` in
+        ORIGIN-image pixels (the dataset-index contract).
+
+    Returns:
+      ``(canvas (H, W) uint8, labels (M, 5) float32)`` with labels again in
+      origin-image pixels — the same contract as a dataset item, so
+      :func:`load_example` consumes the result unchanged (normalisation,
+      padding, blur/flip).
+    """
+    h, w = config.io.input_hw
+    h0, w0 = config.io.origin_img_shape[0], config.io.origin_img_shape[1]
+    kx, ky = w / float(w0), h / float(h0)  # origin -> net-input scale
+    cx = int(rng.uniform(0.3, 0.7) * w)
+    cy = int(rng.uniform(0.3, 0.7) * h)
+    canvas = np.empty((h, w), np.uint8)
+    # ((canvas rows), (canvas cols), (source rows), (source cols)) per
+    # quadrant: each source contributes the corner crop adjacent to the
+    # mosaic center, so box shifts are pure translations.
+    regions = (
+        ((0, cy), (0, cx), (h - cy, h), (w - cx, w)),  # TL <- bottom-right
+        ((0, cy), (cx, w), (h - cy, h), (0, w - cx)),  # TR <- bottom-left
+        ((cy, h), (0, cx), (0, h - cy), (w - cx, w)),  # BL <- top-right
+        ((cy, h), (cx, w), (0, h - cy), (0, w - cx)),  # BR <- top-left
+    )
+    out = []
+    for g, lab, ((ry0, ry1), (rx0, rx1), (gy0, gy1), (gx0, gx1)) in zip(
+            grays, labels_list, regions):
+        canvas[ry0:ry1, rx0:rx1] = g[gy0:gy1, gx0:gx1]
+        if len(lab) == 0:
+            continue
+        b = np.asarray(lab, np.float32).reshape(-1, 5).copy()
+        b[:, (1, 3)] = b[:, (1, 3)] * kx + (rx0 - gx0)
+        b[:, (2, 4)] = b[:, (2, 4)] * ky + (ry0 - gy0)
+        b[:, (1, 3)] = b[:, (1, 3)].clip(rx0, rx1)
+        b[:, (2, 4)] = b[:, (2, 4)].clip(ry0, ry1)
+        keep = ((b[:, 3] - b[:, 1] >= 2.0) & (b[:, 4] - b[:, 2] >= 2.0))
+        if keep.any():
+            out.append(b[keep])
+    if out:
+        labels = np.concatenate(out)
+        labels[:, (1, 3)] /= kx  # back to origin pixels (load_example scales)
+        labels[:, (2, 4)] /= ky
+    else:
+        labels = np.zeros((0, 5), np.float32)
+    return canvas, labels
+
+
 class DetectionLoader:
     """Shuffling, drop-last batch loader with background prefetch.
 
@@ -147,25 +208,41 @@ class DetectionLoader:
         n, bs = len(self.index), self.batch_size
         return n // bs if self.drop_last else -(-n // bs)
 
+    def _get_gray(self, i: int) -> np.ndarray:
+        """Decoded net-input image for dataset item *i*, cache-aware."""
+        io = self.config.io
+        path, _ = self.index[i]
+        if self._cache is None:
+            return _imread_gray_resized(path, io.input_hw,
+                                        io.origin_img_shape[:2])
+        if not self._cache_filled[i]:
+            self._cache[i] = _imread_gray_resized(path, io.input_hw,
+                                                  io.origin_img_shape[:2])
+            self._cache_filled[i] = True
+        # read-only view: an accidental in-place edit downstream (e.g. a
+        # future cv2 call with dst=) must raise instead of silently
+        # corrupting the cache for all later epochs
+        gray = self._cache[i].view()
+        gray.flags.writeable = False
+        return gray
+
     def _make_batch(self, idxs, rng) -> Tuple[np.ndarray, np.ndarray]:
         io = self.config.io
         b = len(idxs)
         imgs = np.empty((b, *io.input_hw, io.input_channels), np.float32)
         tgts = np.empty((b, self.config.train.max_boxes, 6), np.float32)
+        p_mosaic = self.config.augment.mosaic if self.augment else 0.0
 
         def load_one(k, i, item_rng):
             path, labels = self.index[i]
-            gray = None
-            if self._cache is not None:
-                if not self._cache_filled[i]:
-                    self._cache[i] = _imread_gray_resized(
-                        path, io.input_hw, self.config.io.origin_img_shape[:2])
-                    self._cache_filled[i] = True
-                # read-only view: an accidental in-place edit downstream
-                # (e.g. a future cv2 call with dst=) must raise instead of
-                # silently corrupting the cache for all later epochs
-                gray = self._cache[i].view()
-                gray.flags.writeable = False
+            gray = self._get_gray(i) if self._cache is not None else None
+            if p_mosaic > 0 and item_rng.random() < p_mosaic:
+                extra = item_rng.integers(len(self.index), size=3)
+                members = [i, *extra]
+                gray, labels = mosaic_example(
+                    [self._get_gray(j) for j in members],
+                    [self.index[j][1] for j in members],
+                    self.config, item_rng)
             imgs[k], tgts[k] = load_example(path, labels, self.config,
                                             item_rng, self.augment, gray=gray)
 
