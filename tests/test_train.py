@@ -406,3 +406,93 @@ def test_loader_mosaic_yields_valid_batches(dataset):
     assert len(valid) > 0
     assert np.all((valid[:, :4] >= 0) & (valid[:, :4] <= 1))
     assert np.isfinite(imgs).all()
+
+
+def _ema_cfg(cfg, decay=0.5, ramp=1):
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ema_decay=decay,
+                                       ema_ramp=ramp))
+
+
+def test_ema_first_step_matches_hand_lerp(dataset):
+    """After one step: ema = d*p0 + (1-d)*p1 with the ramped decay
+    d = decay * (1 - exp(-1/ramp)) — pinned on a real leaf."""
+    import jax
+
+    root, cfg = dataset
+    cfg = _ema_cfg(cfg, decay=0.5, ramp=1)
+    idx = VOCIndex(root, cfg.io.class_names)
+    loader = DetectionLoader(idx, cfg, batch_size=8, seed=5)
+    trainer = Trainer(cfg, batch_per_epoch=len(loader), seed=0)
+    p0 = jax.tree.map(np.asarray, jax.device_get(trainer.state.params))
+    imgs, tgts = next(iter(loader))
+    trainer.step(imgs, tgts)
+    p1 = jax.tree.map(np.asarray, jax.device_get(trainer.state.params))
+    ema = jax.tree.map(np.asarray, jax.device_get(trainer.state.ema["params"]))
+    d = 0.5 * (1.0 - np.exp(-1.0))
+    for a, b, e in zip(jax.tree.leaves(p0), jax.tree.leaves(p1),
+                       jax.tree.leaves(ema)):
+        np.testing.assert_allclose(e, d * a + (1 - d) * b,
+                                   rtol=1e-5, atol=1e-7)
+    # eval_variables serves the EMA model when enabled
+    ev = trainer.eval_variables
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(ev["params"])[0]),
+        np.asarray(jax.tree.leaves(trainer.state.ema["params"])[0]))
+
+
+def test_ema_checkpoint_roundtrip_and_elasticity(dataset, tmp_path):
+    """EMA state checkpoints and restores exactly; resuming across an
+    ema-flag flip is elastic in both directions (re-seed / drop)."""
+    import jax
+
+    from yolofastest_tpu.train import checkpoint_variables
+
+    root, cfg = dataset
+    ema_cfg = _ema_cfg(cfg, decay=0.9, ramp=2)
+    idx = VOCIndex(root, cfg.io.class_names)
+    loader = DetectionLoader(idx, cfg, batch_size=8, seed=6)
+    trainer = Trainer(ema_cfg, batch_per_epoch=len(loader), seed=0)
+    for imgs, tgts in loader:
+        trainer.step(imgs, tgts)
+    path = trainer.save_checkpoint(str(tmp_path / "ema"), epoch=0)
+
+    # exact roundtrip into another EMA run
+    t2 = Trainer(ema_cfg, batch_per_epoch=len(loader), seed=42)
+    t2.restore_checkpoint(path)
+    for a, b in zip(jax.tree.leaves(trainer.state.ema),
+                    jax.tree.leaves(t2.state.ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # checkpoint_variables prefers the EMA model (what validation scored)
+    v = checkpoint_variables(path)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(v["params"])[0]),
+        np.asarray(jax.tree.leaves(trainer.state.ema["params"])[0]))
+    v_raw = checkpoint_variables(path, prefer_ema=False)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(v_raw["params"])[0]),
+        np.asarray(jax.tree.leaves(trainer.state.params)[0]))
+
+    # EMA checkpoint -> non-EMA run: average dropped, params restored
+    t3 = Trainer(cfg, batch_per_epoch=len(loader), seed=42)
+    t3.restore_checkpoint(path)
+    assert t3.state.ema is None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(t3.state.params)[0]),
+        np.asarray(jax.tree.leaves(trainer.state.params)[0]))
+
+    # non-EMA checkpoint -> EMA run: average re-seeded from the params
+    path2 = t3.save_checkpoint(str(tmp_path / "plain"), epoch=0)
+    t4 = Trainer(ema_cfg, batch_per_epoch=len(loader), seed=7)
+    t4.restore_checkpoint(path2)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(t4.state.ema["params"])[0]),
+        np.asarray(jax.tree.leaves(t4.state.params)[0]))
+    # checkpoint_variables on a non-EMA checkpoint serves the raw weights
+    v2 = checkpoint_variables(path2)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(v2["params"])[0]),
+        np.asarray(jax.tree.leaves(t3.state.params)[0]))

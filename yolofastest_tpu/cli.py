@@ -54,6 +54,12 @@ def _load_weights(path: str):
     from yolofastest_tpu.models import load_variables
     from yolofastest_tpu.models.torch_io import load_torch_checkpoint
 
+    if os.path.isdir(path):
+        # an orbax epoch_* checkpoint dir straight from `train` — deploys the
+        # EMA model when the run kept one (what validation scored)
+        from yolofastest_tpu.train import checkpoint_variables
+
+        return checkpoint_variables(path)
     if path.endswith(".pth"):
         return load_torch_checkpoint(path)
     return load_variables(path)
@@ -149,6 +155,10 @@ def cmd_detect(args) -> int:
     os.makedirs(args.out, exist_ok=True)
 
     if args.backend in ("native", "native-int8"):
+        if getattr(args, "tta", False):
+            print("--tta runs the flip pass on device; it applies to the "
+                  "jax backends (fp/int8/int8-fused), not the C++ engine")
+            return 2
         import time
 
         import cv2
@@ -216,7 +226,7 @@ def cmd_detect(args) -> int:
     detector = Detector(cfg, variables=variables, logger=logger,
                         fold_bn=args.fold_bn, backend=backend,
                         calibration=calibration, calibration_cache=cache,
-                        arch=args.arch)
+                        arch=args.arch, tta=getattr(args, "tta", False))
     detector.batch_detect(args.data, args.out, batch_size=args.batch)
     return 0
 
@@ -226,6 +236,10 @@ def _build_engine(args, cfg, backend, calib_data):
     pipelines) or a ``NativeEngine`` (C++ fp32/int8-VNNI).  Returns ``None``
     after a printed message on error."""
     if backend in ("native", "native-int8"):
+        if getattr(args, "tta", False):
+            print("--tta runs the flip pass on device; it applies to the "
+                  "jax backends (fp/int8/int8-fused), not the C++ engine")
+            return None
         import tempfile
 
         from yolofastest_tpu.export import save_native_weights
@@ -262,7 +276,7 @@ def _build_engine(args, cfg, backend, calib_data):
     return Detector(cfg, variables=_load_weights(args.weights),
                     fold_bn=True, backend=backend,
                     calibration=calibration, calibration_cache=cache,
-                    arch=args.arch)
+                    arch=args.arch, tta=getattr(args, "tta", False))
 
 
 def cmd_serve(args) -> int:
@@ -352,6 +366,9 @@ def cmd_train(args) -> int:
         warmup_min_iters=(cfg.train.warmup_min_iters
                           if args.warmup_min_iters is None
                           else args.warmup_min_iters),
+        ema_decay=(cfg.train.ema_decay if args.ema is None else args.ema),
+        ema_ramp=(cfg.train.ema_ramp if args.ema_ramp is None
+                  else args.ema_ramp),
     )
     cfg = dataclasses.replace(cfg, train=tr)
     if getattr(args, "mosaic", None):
@@ -449,6 +466,10 @@ def cmd_eval(args) -> int:
         from yolofastest_tpu.eval import COCO_IOU_GRID
         iou_thresholds = COCO_IOU_GRID
     backend = getattr(args, "backend", "train")
+    if backend == "train" and getattr(args, "tta", False):
+        print("--tta scores the DEPLOYED pipeline; pick a deployment "
+              "backend (e.g. --backend fp)", file=sys.stderr)
+        return 2
     if backend == "train":
         # Reference-parity path: the training-loop evaluator (float boxes,
         # validate.py conventions) on the raw checkpoint.
@@ -586,9 +607,8 @@ def cmd_export(args) -> int:
 
 def cmd_convert(args) -> int:
     from yolofastest_tpu.models import save_variables
-    from yolofastest_tpu.models.torch_io import load_torch_checkpoint
 
-    variables = load_torch_checkpoint(args.pth)
+    variables = _load_weights(args.pth)
     save_variables(variables, args.out)
     print(f"{args.pth} -> {args.out}")
     return 0
@@ -674,6 +694,7 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--batch", type=int, default=1,
                    help="device batch size for the detect pipeline (>1 = "
                         "throughput mode, amortised per-image timing)")
+    d.add_argument("--tta", action="store_true", help="horizontal-flip test-time augmentation (jax backends): the mirrored batch rides the same device program and both candidate sets merge into one NMS — a recall boost for ~2x device FLOPs")
     d.add_argument("--calibration-cache", default=None,
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
@@ -730,6 +751,7 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--depth", type=int, default=2,
                    help="batches in flight before the first fetch (jax "
                         "backends; overlaps H2D/compute/D2H)")
+    v.add_argument("--tta", action="store_true", help="horizontal-flip test-time augmentation (jax backends): the mirrored batch rides the same device program and both candidate sets merge into one NMS — a recall boost for ~2x device FLOPs")
     v.add_argument("--calib-data", default=None,
                    help="calibration image dir for the int8 backends")
     v.add_argument("--calibration-cache", default=None,
@@ -781,6 +803,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="probability of 4-image mosaic augmentation per "
                         "example (beyond-reference; default 0 = reference "
                         "pipeline unchanged)")
+    t.add_argument("--ema", type=float, nargs="?", const=0.9995, default=None,
+                   metavar="DECAY",
+                   help="keep an exponential moving average of the model "
+                        "(beyond-reference); validation and checkpointed "
+                        "deployment weights then use the EMA. Bare --ema "
+                        "means decay 0.9995")
+    t.add_argument("--ema-ramp", type=int, default=None,
+                   help="EMA decay ramp-in length in steps (default 2000)")
     t.add_argument("--warmup-min-iters", type=int, default=None,
                    help="linear LR warmup lower bound in iterations; the "
                         "reference hard-codes max(3*steps_per_epoch, 1000) "
@@ -823,6 +853,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--coco-map", action="store_true",
                    help="additionally report COCO-style mAP@[.50:.95] "
                         "(10 IOU thresholds; headline mAP stays @0.5)")
+    e.add_argument("--tta", action="store_true",
+                   help="horizontal-flip test-time augmentation (deployed "
+                        "jax backends fp/int8/int8-fused): mirrored batch in "
+                        "the same device program, merged into one NMS")
     e.add_argument("--json-out", default=None,
                    help="also write the full metrics dict (per-class AP, "
                         "target counts, detection rate, per-IOU grid) as "
@@ -859,8 +893,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Adam learning rate for --qat-steps")
     x.set_defaults(fn=cmd_export)
 
-    c = sub.add_parser("convert", help="reference .pth -> zoo .npz")
-    c.add_argument("--pth", required=True)
+    c = sub.add_parser("convert",
+                       help="reference .pth or orbax checkpoint dir -> "
+                            "zoo .npz")
+    c.add_argument("--pth", required=True,
+                   help="reference .pth, a .npz, or a train-run epoch_N "
+                        "checkpoint dir (extracts the EMA model when the "
+                        "run kept one)")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_convert)
 

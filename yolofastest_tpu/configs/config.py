@@ -110,6 +110,14 @@ class TrainConfig:
     # Keep only the newest N epoch checkpoints (0 = keep all).  The reference
     # keeps all 30 (train.py:160); rotation is the sane production default.
     max_to_keep: int = 5
+    # Exponential moving average of the model (params + BN stats); 0 disables.
+    # Beyond-reference: the reference validates/ships the raw last-step
+    # weights (train.py:160).  The effective decay ramps in as
+    # ``ema_decay * (1 - exp(-step/ema_ramp))`` so early steps don't anchor
+    # the average to the random init.  When enabled, validation and the
+    # checkpointed deployment weights use the EMA model.
+    ema_decay: float = 0.0
+    ema_ramp: int = 2000
     log_every: int = 10
     val_after_epoch: int = 4  # run mAP validation once epoch > this
     seed: int = 0

@@ -49,6 +49,12 @@ class Detector:
         batches) of net-input images to derive activation scales from.
       calibration_cache: optional JSON path; scales are loaded from it when it
         exists, else computed from ``calibration`` and saved to it.
+      tta: horizontal-flip test-time augmentation (beyond-reference).  The
+        batch and its mirror run through the backbone as ONE doubled batch
+        (a single XLA program — the flip is a device-side reverse, and the
+        2B batch keeps the MXU fed), flipped-pass boxes are un-mirrored, and
+        both candidate sets merge conf-sorted into one NMS.  ~2x device
+        FLOPs for a recall boost on boundary detections.
     """
 
     def __init__(
@@ -63,6 +69,7 @@ class Detector:
         calibration=None,
         calibration_cache: Optional[str] = None,
         arch: str = "fastest",
+        tta: bool = False,
     ):
         if variables is None:
             if torch_checkpoint is None:
@@ -75,6 +82,7 @@ class Detector:
         self.config = config
         self.backend = backend
         self.arch = arch
+        self.tta = tta
         self.variables = jax.tree.map(jnp.asarray, variables)
         model_cls = YoloFastest if arch == "fastest" else _lite_cls()
         self.model = model_cls(
@@ -126,10 +134,16 @@ class Detector:
                 return _as_heads(self.model.apply(variables, images, train=False))
 
         def _detect(variables, images, packed):
+            if tta:
+                images = jnp.concatenate([images, images[:, :, ::-1, :]], 0)
             heads = _apply(variables, images)
             boxes, conf, cls_score, cls_idx, valid = decode_heads(
                 heads, io.anchors, io.input_hw, io.conf_thre, io.max_decode
             )
+            if tta:
+                boxes, conf, cls_score, cls_idx, valid = _merge_tta(
+                    boxes, conf, cls_score, cls_idx, valid,
+                    float(io.input_hw[1]))
             return batched_nms(
                 boxes, conf, cls_score, cls_idx, valid,
                 iou_thre=io.nms_thre, max_det=io.max_det, packed=packed,
@@ -310,6 +324,26 @@ class Detector:
         avg = totals[0] / max(len(names), 1)
         log("detect avg_time: %.2fms" % avg)
         return avg
+
+
+def _merge_tta(boxes, conf, cls_score, cls_idx, valid, w: float):
+    """Merge a (2B, K, ...) candidate set from a [batch; mirrored batch]
+    forward into (B, 2K, ...): un-mirror the flipped half's x coordinates
+    and re-sort by confidence (greedy NMS requires conf-descending input,
+    and two concatenated sorted halves are not sorted)."""
+    b = boxes.shape[0] // 2
+    bf = boxes[b:]
+    bf = jnp.stack([w - bf[..., 2], bf[..., 1], w - bf[..., 0], bf[..., 3]],
+                   axis=-1)
+    boxes = jnp.concatenate([boxes[:b], bf], axis=1)
+    conf = jnp.concatenate([conf[:b], conf[b:]], axis=1)
+    cls_score = jnp.concatenate([cls_score[:b], cls_score[b:]], axis=1)
+    cls_idx = jnp.concatenate([cls_idx[:b], cls_idx[b:]], axis=1)
+    valid = jnp.concatenate([valid[:b], valid[b:]], axis=1)
+    _, order = jax.lax.top_k(jnp.where(valid, conf, -1.0), conf.shape[1])
+    take = lambda t: jnp.take_along_axis(  # noqa: E731
+        t, order[..., None] if t.ndim == 3 else order, axis=1)
+    return take(boxes), take(conf), take(cls_score), take(cls_idx), take(valid)
 
 
 def _as_heads(out):

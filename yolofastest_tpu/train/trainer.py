@@ -48,6 +48,10 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     step: jax.Array
+    # Exponential moving average of {params, batch_stats} when
+    # ``train.ema_decay > 0``; ``None`` (an empty pytree) otherwise, so
+    # non-EMA checkpoints keep their exact round-1/2 layout.
+    ema: Any = None
 
 
 def make_train_step(
@@ -118,11 +122,27 @@ def make_train_step(
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema
+        if tr.ema_decay > 0:
+            # Ramped decay (YOLO-style): early steps use a small effective
+            # decay so the average forgets the random init quickly, then
+            # approach tr.ema_decay.  Pure lerp inside the same XLA program —
+            # fuses with the Adam update, no extra host sync.
+            d = tr.ema_decay * (
+                1.0 - jnp.exp(-(state.step.astype(jnp.float32) + 1.0)
+                              / float(tr.ema_ramp))
+            )
+            new_ema = jax.tree.map(
+                lambda e, n: e - (1.0 - d) * (e - n),
+                state.ema,
+                {"params": new_params, "batch_stats": new_stats},
+            )
         new_state = TrainState(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
             step=state.step + 1,
+            ema=new_ema,
         )
         metrics = dict(comps)
         metrics["lr"] = lr_schedule(state.step)
@@ -215,11 +235,21 @@ class Trainer:
         self.img_sharding = batch_sharding(mesh, spatial=shard_spatial)
         self.tgt_sharding = batch_sharding(mesh, spatial=False)
 
+        ema0 = None
+        if tr.ema_decay > 0:
+            # seed the average at the init point; distinct host copies so the
+            # donated train-step buffers never alias params
+            ema0 = jax.tree.map(
+                lambda x: np.array(x, copy=True),
+                {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]},
+            )
         state = TrainState(
             params=variables["params"],
             batch_stats=variables["batch_stats"],
             opt_state=self.tx.init(variables["params"]),
             step=jnp.zeros((), jnp.int32),
+            ema=ema0,
         )
         # host_to_global handles multi-process meshes (every host holds the
         # full replicated state); plain device_put in single-process runs.
@@ -251,6 +281,20 @@ class Trainer:
     @property
     def variables(self) -> Dict[str, Any]:
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    @property
+    def ema_variables(self) -> Optional[Dict[str, Any]]:
+        """EMA model variables, or ``None`` when EMA is disabled."""
+        if self.state.ema is None:
+            return None
+        return {"params": self.state.ema["params"],
+                "batch_stats": self.state.ema["batch_stats"]}
+
+    @property
+    def eval_variables(self) -> Dict[str, Any]:
+        """What validation/deployment should score: the EMA model when
+        enabled, else the raw weights."""
+        return self.ema_variables or self.variables
 
     # ------------------------------------------------------------------- fit
     def fit(
@@ -322,7 +366,10 @@ class Trainer:
 
             epoch_info = {"epoch": epoch}
             if validator is not None and epoch > tr.val_after_epoch:
-                epoch_info["mAP"] = validator(self.variables, epoch)
+                if self.state.ema is not None:
+                    log("validating EMA weights (decay %g, ramp %d)"
+                        % (tr.ema_decay, tr.ema_ramp))
+                epoch_info["mAP"] = validator(self.eval_variables, epoch)
                 # multi-threshold evaluators (eval --coco-map grid) also
                 # surface their grid mean in the history
                 lm = getattr(validator, "last_metrics", {})
@@ -364,13 +411,64 @@ class Trainer:
         return path
 
     def restore_checkpoint(self, path: str) -> None:
+        """Restore full state.  EMA-elastic in both directions: a pre-/non-EMA
+        checkpoint resumed into an EMA run re-seeds the average from the
+        restored params; a checkpointed EMA resumed into a non-EMA run is
+        dropped (the raw params ARE the full training state)."""
         import orbax.checkpoint as ocp
 
+        path = os.path.abspath(path)
         ckpt = ocp.StandardCheckpointer()
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
-            jax.device_get(self.state),
+        host = jax.device_get(self.state)
+        aspec = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), t)
+        # The abstract tree must mirror the CHECKPOINT's layout (orbax
+        # rejects any ema-subtree mismatch), so shape it from metadata.
+        abstract = {f: aspec(getattr(host, f))
+                    for f in ("params", "batch_stats", "opt_state", "step")}
+        md_tree = ckpt.metadata(path).item_metadata.tree
+        if md_tree.get("ema") is not None:
+            abstract["ema"] = {"params": abstract["params"],
+                               "batch_stats": abstract["batch_stats"]}
+        elif "ema" in md_tree:
+            abstract["ema"] = None
+        restored = ckpt.restore(path, abstract)
+        ema = restored.get("ema")
+        if host.ema is not None and ema is None:
+            ema = {"params": restored["params"],
+                   "batch_stats": restored["batch_stats"]}
+        elif host.ema is None:
+            ema = None
+        state = TrainState(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+            ema=ema,
         )
-        restored = ckpt.restore(os.path.abspath(path), abstract)
         replicated = NamedSharding(self.mesh, P())
-        self.state = jax.device_put(restored, replicated)
+        self.state = jax.device_put(state, replicated)
+
+
+def checkpoint_variables(path: str, prefer_ema: bool = True) -> Dict[str, Any]:
+    """Deployable model variables from an orbax ``epoch_*`` checkpoint dir.
+
+    Returns ``{"params", "batch_stats"}`` — the EMA model when the checkpoint
+    carries one and ``prefer_ema`` (what validation scored), else the raw
+    weights.  This is the bridge from a training run to every deployment
+    entry point (detect/eval/export accept a checkpoint dir anywhere they
+    accept a ``.npz``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = ocp.StandardCheckpointer()
+    # shape the abstract tree from the checkpoint's own metadata (also
+    # avoids orbax's unsafe-restore warning)
+    md = ckpt.metadata(path).item_metadata.tree
+    abstract = jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype), md)
+    restored = ckpt.restore(path, abstract)
+    src = restored.get("ema") if prefer_ema else None
+    if not src:
+        src = restored
+    return {"params": src["params"], "batch_stats": src["batch_stats"]}
