@@ -496,3 +496,86 @@ def test_ema_checkpoint_roundtrip_and_elasticity(dataset, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(v2["params"])[0]),
         np.asarray(jax.tree.leaves(t3.state.params)[0]))
+
+
+# ---------------------------------------------------------------- multi-scale
+def _ms_cfg(cfg, steps=1, every=1):
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, train=dataclasses.replace(
+            cfg.train, multiscale_steps=steps, multiscale_every=every))
+
+
+def test_multiscale_buckets_layout_and_floor():
+    from yolofastest_tpu.data.pipeline import multiscale_buckets
+
+    cfg = tiny_config()  # base (64, 96): the -32 bucket hits the 64 floor
+    assert multiscale_buckets(_ms_cfg(cfg, steps=1)) == ((64, 96), (96, 128))
+    assert multiscale_buckets(_ms_cfg(cfg, steps=2)) == (
+        (64, 96), (96, 128), (128, 160))
+    full = get_config("256x320")
+    assert multiscale_buckets(_ms_cfg(full, steps=2)) == (
+        (192, 256), (224, 288), (256, 320), (288, 352), (320, 384))
+    # every bucket keeps the stride-32 grid exact
+    for h, w in multiscale_buckets(_ms_cfg(full, steps=2)):
+        assert h % 32 == 0 and w % 32 == 0
+
+
+def test_multiscale_loader_schedule_and_determinism(dataset):
+    from yolofastest_tpu.data.pipeline import multiscale_buckets
+
+    root, cfg = dataset
+    cfg = _ms_cfg(cfg, steps=1, every=2)
+    idx = VOCIndex(root, cfg.io.class_names)
+    buckets = multiscale_buckets(cfg)
+
+    def shapes(seed):
+        loader = DetectionLoader(idx, cfg, batch_size=4, seed=seed)
+        return [imgs.shape[1:3] for imgs, _ in loader]
+
+    s = shapes(3)
+    assert len(s) == 4 and all(tuple(x) in buckets for x in s)
+    # one bucket per group of `every` batches
+    assert s[0] == s[1] and s[2] == s[3]
+    # reproducible given the seed
+    assert shapes(3) == s
+    # validation loaders (augment=False) never rescale
+    val = DetectionLoader(idx, cfg, batch_size=4, augment=False, shuffle=False)
+    assert all(imgs.shape[1:3] == tuple(cfg.io.input_hw) for imgs, _ in val)
+
+
+def test_multiscale_targets_are_resolution_independent(dataset):
+    from yolofastest_tpu.data import load_example
+
+    root, cfg = dataset
+    idx = VOCIndex(root, cfg.io.class_names)
+    path, labels = idx[0]
+    img_base, tgt_base = load_example(path, labels, cfg, augment=False)
+    img_up, tgt_up = load_example(path, labels, cfg, augment=False,
+                                  out_hw=(96, 128))
+    assert img_base.shape == (64, 96, 1) and img_up.shape == (96, 128, 1)
+    np.testing.assert_array_equal(tgt_base, tgt_up)  # normalised coords
+
+
+def test_multiscale_train_step_runs_per_bucket(dataset):
+    root, cfg = dataset
+    cfg = _ms_cfg(cfg, steps=1, every=1)
+    idx = VOCIndex(root, cfg.io.class_names)
+    trainer = Trainer(cfg, batch_per_epoch=4, seed=0)
+    import jax
+
+    shapes_before = jax.tree.map(lambda x: x.shape, trainer.state.params)
+    for hw in ((64, 96), (96, 128)):  # one cached trace per bucket
+        loader = DetectionLoader(idx, cfg, batch_size=8, seed=5)
+        imgs, tgts = next(iter(loader))
+        import cv2
+
+        if imgs.shape[1:3] != hw:
+            imgs = np.stack([
+                cv2.resize(im[:, :, 0], (hw[1], hw[0]))[:, :, None]
+                for im in imgs])
+        m = trainer.step(imgs, tgts)
+        assert np.isfinite(float(m["total"]))
+    # multi-scale never touches parameter shapes (fully convolutional)
+    assert jax.tree.map(lambda x: x.shape, trainer.state.params) == shapes_before

@@ -369,6 +369,8 @@ def cmd_train(args) -> int:
         ema_decay=(cfg.train.ema_decay if args.ema is None else args.ema),
         ema_ramp=(cfg.train.ema_ramp if args.ema_ramp is None
                   else args.ema_ramp),
+        multiscale_steps=(cfg.train.multiscale_steps
+                          if args.multiscale is None else args.multiscale),
     )
     cfg = dataclasses.replace(cfg, train=tr)
     if getattr(args, "mosaic", None):
@@ -803,6 +805,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="probability of 4-image mosaic augmentation per "
                         "example (beyond-reference; default 0 = reference "
                         "pipeline unchanged)")
+    t.add_argument("--multiscale", type=int, nargs="?", const=2, default=None,
+                   metavar="STEPS",
+                   help="multi-scale training: every train.multiscale_every "
+                        "batches draw the input (H, W) from input_hw +/- "
+                        "k*32, k <= STEPS (beyond-reference; each bucket is "
+                        "one extra cached compile of the train step). Bare "
+                        "--multiscale means 2 steps each side")
     t.add_argument("--ema", type=float, nargs="?", const=0.9995, default=None,
                    metavar="DECAY",
                    help="keep an exponential moving average of the model "

@@ -118,6 +118,16 @@ class TrainConfig:
     # checkpointed deployment weights use the EMA model.
     ema_decay: float = 0.0
     ema_ramp: int = 2000
+    # Bucketed multi-scale training (darknet-style random input resolution,
+    # done the XLA way): every ``multiscale_every`` batches the train loader
+    # draws an (H, W) bucket from ``io.input_hw + k*32`` for k in
+    # [-steps, +steps] (both dims shifted together, floor 64).  Targets are
+    # resolution-independent (normalised coords) and the loss derives stride
+    # from the actual batch shape, so each bucket is exactly ONE extra cached
+    # jit compile of the train step — static shapes, no dynamic-shape
+    # recompiles in steady state.  0 disables; validation stays at base res.
+    multiscale_steps: int = 0
+    multiscale_every: int = 10
     log_every: int = 10
     val_after_epoch: int = 4  # run mAP validation once epoch > this
     seed: int = 0

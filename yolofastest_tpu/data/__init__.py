@@ -1,7 +1,8 @@
 from yolofastest_tpu.data.voc import VOCIndex, parse_voc_xml, write_voc_xml
 from yolofastest_tpu.data.coco import (COCOIndex, parse_coco_json,
                                        voc_to_coco, write_coco_json)
-from yolofastest_tpu.data.pipeline import DetectionLoader, load_example
+from yolofastest_tpu.data.pipeline import (DetectionLoader, load_example,
+                                           multiscale_buckets)
 from yolofastest_tpu.data.anchors import (anchor_groups, collect_wh,
                                           kmeans_anchors, mean_best_iou)
 
@@ -19,4 +20,5 @@ __all__ = [
     "write_coco_json",
     "DetectionLoader",
     "load_example",
+    "multiscale_buckets",
 ]

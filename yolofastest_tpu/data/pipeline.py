@@ -43,6 +43,24 @@ def _imread_gray_resized(img_path: str, input_hw: Tuple[int, int],
     return gray
 
 
+def multiscale_buckets(config: Config) -> Tuple[Tuple[int, int], ...]:
+    """Static (H, W) buckets for multi-scale training: ``io.input_hw + k*32``
+    for k in [-steps, +steps], both dims shifted together, floored at 64.
+
+    Beyond-reference (the reference trains at one fixed resolution);
+    darknet-style random-resolution jitter expressed the XLA way — a small
+    FIXED set of shapes, each a one-time cached compile of the train step.
+    """
+    h, w = config.io.input_hw
+    k = config.train.multiscale_steps
+    out = []
+    for d in range(-k, k + 1):
+        hh, ww = h + 32 * d, w + 32 * d
+        if hh >= 64 and ww >= 64:
+            out.append((hh, ww))
+    return tuple(out)
+
+
 def load_example(
     img_path: str,
     labels: np.ndarray,
@@ -50,6 +68,7 @@ def load_example(
     rng: Optional[np.random.Generator] = None,
     augment: bool = True,
     gray: Optional[np.ndarray] = None,
+    out_hw: Optional[Tuple[int, int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """One (image, padded-targets) pair.
 
@@ -59,6 +78,9 @@ def load_example(
         ``augment=False``.
       gray: optionally a pre-decoded ``(H, W) uint8`` net-input image (the
         loader's image cache); skips the jpeg decode + resize.
+      out_hw: multi-scale bucket (H, W); the augmented net-input image is
+        resized to it as the LAST pixel op (targets are normalised, so the
+        label math is resolution-independent).  None = config resolution.
 
     Returns:
       img: (H, W, 1) float32, ``(x - 128) / 255`` normalised.
@@ -90,6 +112,11 @@ def load_example(
         if rng.random() < config.augment.fliplr:
             gray = np.fliplr(gray)
             out[:n, 0] = 1.0 - out[:n, 0]
+
+    if out_hw is not None and gray.shape[:2] != tuple(out_hw):
+        import cv2
+
+        gray = cv2.resize(np.ascontiguousarray(gray), (out_hw[1], out_hw[0]))
 
     img = (gray.astype(np.float32) - 128.0) / 255.0
     return img[:, :, None], out
@@ -226,10 +253,13 @@ class DetectionLoader:
         gray.flags.writeable = False
         return gray
 
-    def _make_batch(self, idxs, rng) -> Tuple[np.ndarray, np.ndarray]:
+    def _make_batch(self, idxs, rng,
+                    out_hw: Optional[Tuple[int, int]] = None
+                    ) -> Tuple[np.ndarray, np.ndarray]:
         io = self.config.io
         b = len(idxs)
-        imgs = np.empty((b, *io.input_hw, io.input_channels), np.float32)
+        imgs = np.empty((b, *(out_hw or io.input_hw), io.input_channels),
+                        np.float32)
         tgts = np.empty((b, self.config.train.max_boxes, 6), np.float32)
         p_mosaic = self.config.augment.mosaic if self.augment else 0.0
 
@@ -244,7 +274,8 @@ class DetectionLoader:
                     [self.index[j][1] for j in members],
                     self.config, item_rng)
             imgs[k], tgts[k] = load_example(path, labels, self.config,
-                                            item_rng, self.augment, gray=gray)
+                                            item_rng, self.augment, gray=gray,
+                                            out_hw=out_hw)
 
         if self.num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
@@ -269,6 +300,17 @@ class DetectionLoader:
         # Per-epoch child rng so epochs differ but runs are reproducible.
         epoch_rng = np.random.default_rng(self.rng.integers(2**63))
 
+        # Multi-scale: one (H, W) bucket per group of ``multiscale_every``
+        # batches, drawn up front so the augmentation rng stream is
+        # untouched when the feature is off (the default path stays
+        # bit-identical).  Augmenting loaders only — validation is base-res.
+        scales = None
+        if self.augment and self.config.train.multiscale_steps > 0:
+            buckets = multiscale_buckets(self.config)
+            every = max(1, self.config.train.multiscale_every)
+            picks = epoch_rng.integers(len(buckets), size=-(-nb // every))
+            scales = [buckets[picks[bi // every]] for bi in range(nb)]
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -278,7 +320,9 @@ class DetectionLoader:
                     if stop.is_set():
                         return
                     idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
-                    q.put(self._make_batch(idxs, epoch_rng))
+                    q.put(self._make_batch(
+                        idxs, epoch_rng,
+                        out_hw=scales[bi] if scales else None))
                 q.put(None)
             except BaseException as e:  # surface loader errors to the consumer
                 q.put(e)

@@ -87,7 +87,12 @@ def make_train_step(
                 heads,
                 targets,
                 io.anchors,
-                io.input_hw,
+                # the ACTUAL batch shape, not the config resolution: under
+                # multi-scale training each (H, W) bucket is its own cached
+                # jit trace, and stride/anchor scaling must follow the trace's
+                # static shape (identical to io.input_hw when multi-scale is
+                # off, so the single-scale program is unchanged)
+                imgs.shape[1:3],
                 ignore_thre=tr.iou_loss_thre,
                 num_cls=io.num_cls,
                 branch_weight=tr.branch_weight,
