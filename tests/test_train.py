@@ -579,3 +579,22 @@ def test_multiscale_train_step_runs_per_bucket(dataset):
         assert np.isfinite(float(m["total"]))
     # multi-scale never touches parameter shapes (fully convolutional)
     assert jax.tree.map(lambda x: x.shape, trainer.state.params) == shapes_before
+
+
+def test_multiscale_composes_with_mosaic(dataset):
+    import dataclasses
+
+    from yolofastest_tpu.data.pipeline import multiscale_buckets
+
+    root, cfg = dataset
+    cfg = _ms_cfg(cfg, steps=1, every=1)
+    cfg = dataclasses.replace(
+        cfg, augment=dataclasses.replace(cfg.augment, mosaic=1.0))
+    idx = VOCIndex(root, cfg.io.class_names)
+    buckets = multiscale_buckets(cfg)
+    for imgs, tgts in DetectionLoader(idx, cfg, batch_size=4, seed=11):
+        assert tuple(imgs.shape[1:3]) in buckets
+        valid = tgts[tgts[:, :, 5] == 255.0]
+        # mosaic composes at base res, then the bucket resize follows;
+        # labels stay normalised and in range either way
+        assert np.all((valid[:, :4] >= 0) & (valid[:, :4] <= 1))
