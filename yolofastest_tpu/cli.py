@@ -379,6 +379,12 @@ def cmd_train(args) -> int:
 
     logger = config_logger(args.log_dir, "train_info.log")
     logger.info("Start....")
+    if cfg.train.multiscale_steps > 0:
+        from yolofastest_tpu.data import multiscale_buckets
+
+        logger.info("multi-scale training: buckets %s, redrawn every %d "
+                    "batches" % (list(multiscale_buckets(cfg)),
+                                 cfg.train.multiscale_every))
 
     train_idx = _make_index(args.train_dir, cfg.io.class_names, logger,
                             fmt=args.format)

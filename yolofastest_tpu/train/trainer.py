@@ -262,6 +262,7 @@ class Trainer:
             lambda x: host_to_global(replicated, np.asarray(x)), state
         )
 
+        self._traced_hw: set = set()
         step_fn = make_train_step(self.model, self.tx, config, self.lr_schedule,
                                   distill_fn=distill_fn,
                                   distill_weight=distill_weight)
@@ -278,6 +279,15 @@ class Trainer:
         this host's SHARD of the global batch (per-host feeding,
         ``jax.make_array_from_process_local_data``); single-process runs pass
         the whole batch — one code path either way."""
+        hw = tuple(imgs.shape[1:3])
+        if hw not in self._traced_hw:
+            # each input (H, W) is one cached jit trace — log the compile
+            # event so multi-scale runs record their bucket schedule
+            self._traced_hw.add(hw)
+            multiscale = self.config.train.multiscale_steps > 0
+            if self.logger and (multiscale or len(self._traced_hw) > 1):
+                self.logger.info("multi-scale: compiling train step for "
+                                 "input %dx%d" % hw)
         imgs = self._host_to_global(self.img_sharding, imgs)
         targets = self._host_to_global(self.tgt_sharding, targets)
         self.state, metrics = self._train_step(self.state, imgs, targets)
