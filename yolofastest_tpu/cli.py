@@ -159,6 +159,10 @@ def cmd_detect(args) -> int:
             print("--tta runs the flip pass on device; it applies to the "
                   "jax backends (fp/int8/int8-fused), not the C++ engine")
             return 2
+        if getattr(args, "sliced", None):
+            print("--sliced batches all tiles through one device program; "
+                  "it applies to the jax backends, not the C++ engine")
+            return 2
         import time
 
         import cv2
@@ -227,7 +231,48 @@ def cmd_detect(args) -> int:
                         fold_bn=args.fold_bn, backend=backend,
                         calibration=calibration, calibration_cache=cache,
                         arch=args.arch, tta=getattr(args, "tta", False))
+    if getattr(args, "sliced", None):
+        return _sliced_detect_dir(args, cfg, detector, logger)
     detector.batch_detect(args.data, args.out, batch_size=args.batch)
+    return 0
+
+
+def _sliced_detect_dir(args, cfg, detector, logger) -> int:
+    """detect --sliced RxC: tiled detection over every image in --data.
+    All R*C tiles of an image run as ONE batch through the detector's
+    jitted program; results are origin-pixel boxes after the global NMS."""
+    import time
+
+    import cv2
+
+    from yolofastest_tpu.inference.sliced import sliced_detect
+    from yolofastest_tpu.utils.visualize import CLASS_COLORS, plot_one_box
+
+    try:
+        rows, cols = (int(v) for v in args.sliced.lower().split("x"))
+    except ValueError:
+        print(f"--sliced expects RxC (e.g. 2x3), got {args.sliced!r}")
+        return 2
+    io = cfg.io
+    names = sorted(f for f in os.listdir(args.data)
+                   if f.lower().endswith(".jpg"))
+    avg = 0.0
+    for fn in names:
+        ori = cv2.imread(os.path.join(args.data, fn))
+        t0 = time.time()
+        det = sliced_detect(detector, ori, (rows, cols), args.slice_overlap)
+        total = (time.time() - t0) * 1e3
+        avg += total
+        for b, conf, cs, cls in zip(det["boxes"], det["conf"],
+                                    det["cls_score"], det["cls_idx"]):
+            plot_one_box(list(b), ori, color=CLASS_COLORS[int(cls) % 3],
+                         label="%s %.2f" % (io.class_names[int(cls)],
+                                            conf * cs),
+                         line_thickness=3)
+        cv2.imwrite(os.path.join(args.out, "result_" + fn), ori)
+        logger.info("image_name:%s -> total time:%.2fms (%d dets, "
+                    "%dx%d tiles)" % (fn, total, det["count"], rows, cols))
+    logger.info("detect avg_time: %.2fms" % (avg / max(len(names), 1)))
     return 0
 
 
@@ -703,6 +748,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="device batch size for the detect pipeline (>1 = "
                         "throughput mode, amortised per-image timing)")
     d.add_argument("--tta", action="store_true", help="horizontal-flip test-time augmentation (jax backends): the mirrored batch rides the same device program and both candidate sets merge into one NMS — a recall boost for ~2x device FLOPs")
+    d.add_argument("--sliced", default=None, metavar="RxC",
+                   help="tiled (SAHI-style) detection for large frames: "
+                        "split each image into an RxC grid of overlapping "
+                        "crops, run ALL tiles as one batch through the "
+                        "jitted program, merge in one global NMS (jax "
+                        "backends; small objects keep their pixels)")
+    d.add_argument("--slice-overlap", type=float, default=0.2,
+                   help="fraction of tile extent shared by neighbouring "
+                        "tiles (default 0.2)")
     d.add_argument("--calibration-cache", default=None,
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
