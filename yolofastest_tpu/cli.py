@@ -623,6 +623,12 @@ def cmd_export(args) -> int:
     export_onnx(folded, cfg.io.input_hw, os.path.join(args.out, "model.onnx"),
                 arch=graph_arch)
     print("wrote", os.path.join(args.out, "model.onnx"))
+    from yolofastest_tpu.export import export_ncnn
+
+    export_ncnn(folded, cfg.io.input_hw, os.path.join(args.out, "model.param"),
+                os.path.join(args.out, "model.bin"), arch=graph_arch)
+    print("wrote", os.path.join(args.out, "model.param"),
+          "+", os.path.join(args.out, "model.bin"))
     if act_scales is not None:
         from yolofastest_tpu.export import export_onnx_qdq
 

@@ -6,11 +6,13 @@ from yolofastest_tpu.export.stablehlo import (
     save_exported,
 )
 from yolofastest_tpu.export.native import load_native_weights, save_native_weights
+from yolofastest_tpu.export.ncnn import export_ncnn
 from yolofastest_tpu.export.onnx import export_onnx, export_onnx_qdq
 from yolofastest_tpu.export.torchscript import build_torch_module, export_torchscript
 
 __all__ = [
     "build_torch_module",
+    "export_ncnn",
     "export_onnx",
     "export_onnx_qdq",
     "export_torchscript",
