@@ -79,6 +79,23 @@ def test_ncnn_consumer_runs_reference_artifact(tmp_path):
 
 
 @pytest.mark.slow
+def test_ncnn_consumer_runs_reference_artifact_512(tmp_path):
+    """Same lock at the high resolution (epoch-27 checkpoint, shipped
+    ``models/ncnn/512x640/``)."""
+    ref = "/root/reference/models/ncnn/512x640/YOLO-Fastest_epoch_27-opt"
+    if not os.path.exists(ref + ".param"):
+        pytest.skip("reference ncnn artifacts not present")
+    fx = np.load(os.path.join(FIXTURES, "golden_512x640.npz"))
+    imgs = ((fx["pre_imgs"][:1].astype(np.float32)[:, None, :, :] - 128.0)
+            / 255.0)
+    out = _consume(ref + ".param", ref + ".bin", imgs, tmp_path)
+    np.testing.assert_allclose(out["head_large"], fx["logits_large"][:1],
+                               atol=1e-3)
+    np.testing.assert_allclose(out["head_small"], fx["logits_small"][:1],
+                               atol=1e-3)
+
+
+@pytest.mark.slow
 def test_ncnn_roundtrip_zoo(tmp_path):
     """Our export -> fresh-process consumer -> folded JAX graph parity, and
     the emitted layer-type sequence equals the reference's ncnnoptimize
