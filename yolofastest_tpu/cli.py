@@ -629,6 +629,13 @@ def cmd_export(args) -> int:
                 os.path.join(args.out, "model.bin"), arch=graph_arch)
     print("wrote", os.path.join(args.out, "model.param"),
           "+", os.path.join(args.out, "model.bin"))
+    from yolofastest_tpu.export import export_caffe
+
+    export_caffe(folded, cfg.io.input_hw,
+                 os.path.join(args.out, "model.prototxt"),
+                 os.path.join(args.out, "model.caffemodel"), arch=graph_arch)
+    print("wrote", os.path.join(args.out, "model.prototxt"),
+          "+", os.path.join(args.out, "model.caffemodel"))
     if act_scales is not None:
         from yolofastest_tpu.export import export_onnx_qdq
 

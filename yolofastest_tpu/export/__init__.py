@@ -5,6 +5,7 @@ from yolofastest_tpu.export.stablehlo import (
     load_exported,
     save_exported,
 )
+from yolofastest_tpu.export.caffe import export_caffe
 from yolofastest_tpu.export.native import load_native_weights, save_native_weights
 from yolofastest_tpu.export.ncnn import export_ncnn
 from yolofastest_tpu.export.onnx import export_onnx, export_onnx_qdq
@@ -12,6 +13,7 @@ from yolofastest_tpu.export.torchscript import build_torch_module, export_torchs
 
 __all__ = [
     "build_torch_module",
+    "export_caffe",
     "export_ncnn",
     "export_onnx",
     "export_onnx_qdq",
