@@ -674,6 +674,23 @@ def cmd_export(args) -> int:
 def cmd_convert(args) -> int:
     from yolofastest_tpu.models import save_variables
 
+    if getattr(args, "ncnn", None):
+        if args.pth:
+            print("convert: give either --pth or --ncnn, not both")
+            return 2
+        from yolofastest_tpu.export import import_ncnn
+        from yolofastest_tpu.models import unfold_to_variables
+
+        folded, arch = import_ncnn(args.ncnn)
+        variables = unfold_to_variables(folded)
+        save_variables(variables, args.out)
+        print(f"{args.ncnn} ({arch}) -> {args.out}")
+        print("note: batch norms are identity-lifted from the folded "
+              "artifact; fine-tuning will re-estimate running stats")
+        return 0
+    if not args.pth:
+        print("convert: one of --pth / --ncnn is required")
+        return 2
     variables = _load_weights(args.pth)
     save_variables(variables, args.out)
     print(f"{args.pth} -> {args.out}")
@@ -976,12 +993,17 @@ def build_parser() -> argparse.ArgumentParser:
     x.set_defaults(fn=cmd_export)
 
     c = sub.add_parser("convert",
-                       help="reference .pth or orbax checkpoint dir -> "
-                            "zoo .npz")
-    c.add_argument("--pth", required=True,
+                       help="reference .pth, orbax checkpoint dir, or ncnn "
+                            ".param/.bin -> zoo .npz")
+    c.add_argument("--pth",
                    help="reference .pth, a .npz, or a train-run epoch_N "
                         "checkpoint dir (extracts the EMA model when the "
                         "run kept one)")
+    c.add_argument("--ncnn",
+                   help="ncnn .param path (matching .bin alongside) — "
+                        "imports a compiled deployment artifact, incl. the "
+                        "reference's shipped models/ncnn/*-opt files; arch "
+                        "is auto-detected")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_convert)
 

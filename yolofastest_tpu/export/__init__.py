@@ -7,7 +7,7 @@ from yolofastest_tpu.export.stablehlo import (
 )
 from yolofastest_tpu.export.caffe import export_caffe
 from yolofastest_tpu.export.native import load_native_weights, save_native_weights
-from yolofastest_tpu.export.ncnn import export_ncnn
+from yolofastest_tpu.export.ncnn import export_ncnn, import_ncnn
 from yolofastest_tpu.export.onnx import export_onnx, export_onnx_qdq
 from yolofastest_tpu.export.torchscript import build_torch_module, export_torchscript
 
@@ -15,6 +15,7 @@ __all__ = [
     "build_torch_module",
     "export_caffe",
     "export_ncnn",
+    "import_ncnn",
     "export_onnx",
     "export_onnx_qdq",
     "export_torchscript",

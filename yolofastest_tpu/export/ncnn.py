@@ -150,6 +150,143 @@ def _insert_splits(layers: List[_Layer]) -> List[_Layer]:
     return out
 
 
+class _NcnnNames(Executor):
+    """Records the weighted-layer schedule (graph name, kind, kernel size)
+    in topology-walk order; the tensors are dummies."""
+
+    def __init__(self):
+        self.sched: List[tuple] = []
+
+    def conv(self, x, name, kernel, stride=1, depthwise=False, act=True):
+        self.sched.append((name, "dw" if depthwise else "conv", kernel))
+        return x
+
+    def deconv2x(self, x, name):
+        self.sched.append((name, "deconv", 2))
+        return x
+
+    def head(self, x, name):
+        self.sched.append((name, "head", 1))
+        return x
+
+    def add(self, x, y):
+        return x
+
+    def concat(self, x, y):
+        return x
+
+
+def _weight_schedule(arch: str) -> List[tuple]:
+    em = _NcnnNames()
+    walk = {"yolofastest": walk_topology,
+            "yolofastest-lite": walk_topology_lite}[arch]
+    walk("data", em)
+    return em.sched
+
+
+_WEIGHTED_TYPES = ("Convolution", "ConvolutionDepthWise", "Deconvolution")
+
+
+def _parse_param(param_path: str) -> List[Dict[str, Any]]:
+    """Magic-7767517 text param -> ordered layer dicts
+    {type, name, ins, outs, params{int: str}}."""
+    lines = [ln.split() for ln in open(param_path).read().splitlines()
+             if ln.strip()]
+    if lines[0] != ["7767517"]:
+        raise ValueError(f"{param_path}: bad ncnn param magic {lines[0]}")
+    n_layers = int(lines[1][0])
+    layers = []
+    for toks in lines[2:2 + n_layers]:
+        typ, name, nin, nout = toks[0], toks[1], int(toks[2]), int(toks[3])
+        ins = toks[4:4 + nin]
+        outs = toks[4 + nin:4 + nin + nout]
+        params = {}
+        for kv in toks[4 + nin + nout:]:
+            k, v = kv.split("=", 1)
+            params[int(k)] = v
+        layers.append({"type": typ, "name": name, "ins": ins, "outs": outs,
+                       "params": params})
+    return layers
+
+
+def import_ncnn(param_path: str, bin_path: Optional[str] = None,
+                arch: Optional[str] = None):
+    """Load an ncnn ``.param``/``.bin`` pair back into the folded-graph
+    representation — including the *reference's own shipped* deployment
+    artifacts (``models/ncnn/*/YOLO-Fastest_epoch_*-opt.{param,bin}``), so a
+    reference user whose only model is the compiled embedded artifact can
+    run it through every backend here (TPU jit, int8, the C++ engine).
+
+    ncnnoptimize autogenerates layer names, so blobs are aligned to our
+    graph names by *weighted-layer order*, with each position verified
+    against the expected layer type and kernel size (the sequences are
+    locked equal by ``tests/test_export_ncnn.py``).  Returns
+    ``(folded, arch)`` where ``folded`` is the ``fold_batchnorm``-shaped
+    ``{layer: {kernel, bias}}`` dict (HWIO kernels) and ``arch`` is
+    ``"yolofastest"`` / ``"yolofastest-lite"`` (auto-detected from the
+    weighted-layer sequence unless given).
+    """
+    if bin_path is None:
+        bin_path = (param_path[: -len(".param")] + ".bin"
+                    if param_path.endswith(".param") else param_path + ".bin")
+    layers = _parse_param(param_path)
+    weighted = [L for L in layers if L["type"] in _WEIGHTED_TYPES]
+
+    if arch is None:
+        for cand in ("yolofastest", "yolofastest-lite"):
+            sched = _weight_schedule(cand)
+            if len(sched) == len(weighted):
+                arch = cand
+                break
+        else:
+            raise ValueError(
+                f"{param_path}: {len(weighted)} weighted layers match "
+                "neither arch")
+    sched = _weight_schedule(arch)
+    if len(sched) != len(weighted):
+        raise ValueError(
+            f"{param_path}: {len(weighted)} weighted layers, arch {arch!r} "
+            f"expects {len(sched)}")
+
+    buf = open(bin_path, "rb").read()
+    off = 0
+    folded: Dict[str, Dict[str, np.ndarray]] = {}
+    for L, (gname, kind, ksize) in zip(weighted, sched):
+        p = L["params"]
+        nout = int(p[0])
+        kernel = int(p.get(1, "1"))
+        wsize = int(p[6])
+        expect_type = {"conv": "Convolution", "head": "Convolution",
+                       "dw": "ConvolutionDepthWise",
+                       "deconv": "Deconvolution"}[kind]
+        if L["type"] != expect_type or kernel != ksize:
+            raise ValueError(
+                f"{param_path}: layer {L['name']!r} is {L['type']} k={kernel}"
+                f", expected {expect_type} k={ksize} for graph layer "
+                f"{gname!r} — not a YOLO-Fastest ncnn graph?")
+        tag = int(np.frombuffer(buf, np.uint32, 1, off)[0])
+        off += 4
+        if tag != 0:
+            raise ValueError(f"{bin_path}: {L['name']}: non-fp32 weight tag "
+                             f"{tag:#x} unsupported")
+        w = np.frombuffer(buf, np.float32, wsize, off).copy()
+        off += 4 * wsize
+        if int(p.get(5, "0")) != 1:
+            raise ValueError(f"{param_path}: {L['name']}: bias_term=0 "
+                             "unsupported (BN-folded graphs carry biases)")
+        b = np.frombuffer(buf, np.float32, nout, off).copy()
+        off += 4 * nout
+        cin = wsize // (nout * kernel * kernel)
+        # bin layout is OIHW for conv/dw AND deconv (deconv rides
+        # (Cout, Cin, kh, kw)); invert the export transpose (3,2,0,1)
+        k_hwio = w.reshape(nout, cin, kernel, kernel).transpose(2, 3, 1, 0)
+        folded[gname] = {"kernel": np.ascontiguousarray(k_hwio), "bias": b}
+    if off != len(buf):
+        raise ValueError(f"{bin_path}: {len(buf) - off} trailing bytes "
+                         "after the last weighted layer")
+    return folded, arch
+
+
 def export_ncnn(folded: Dict[str, Dict[str, np.ndarray]], input_hw,
                 param_path: str, bin_path: Optional[str] = None,
                 arch: str = "yolofastest") -> None:

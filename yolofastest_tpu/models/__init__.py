@@ -8,6 +8,7 @@ from yolofastest_tpu.models.yolo_fastest import (
 from yolofastest_tpu.models.torch_io import load_torch_checkpoint
 from yolofastest_tpu.models.graph import (
     fold_batchnorm,
+    unfold_to_variables,
     folded_apply,
     folded_apply_lite,
     walk_topology,
@@ -17,6 +18,7 @@ from yolofastest_tpu.models.zoo import load_variables, save_variables, zoo_path
 
 __all__ = [
     "fold_batchnorm",
+    "unfold_to_variables",
     "folded_apply",
     "load_variables",
     "save_variables",

@@ -60,6 +60,67 @@ def fold_batchnorm(variables: Dict[str, Any]) -> Dict[str, Dict[str, np.ndarray]
     return out
 
 
+def _identity_bn_var() -> np.float32:
+    """The float32 running-variance value whose fold gain is closest to
+    exactly 1: ``fold_batchnorm`` computes ``g = scale/sqrt(var + BN_EPS)``
+    in float64, so we want the f32 ``var`` minimising ``|sqrt(var+eps)-1|``
+    (plain ``f32(1-eps)`` carries its own rounding error ~3e-8)."""
+    v = np.float32(1.0 - BN_EPS)
+    cands = [v]
+    lo = hi = v
+    for _ in range(4):
+        lo = np.nextafter(lo, np.float32(0))
+        hi = np.nextafter(hi, np.float32(2))
+        cands += [lo, hi]
+    return min(cands,
+               key=lambda c: abs(np.sqrt(np.float64(c) + BN_EPS) - 1.0))
+
+
+def unfold_to_variables(folded: Dict[str, Dict[str, np.ndarray]]) -> Dict[str, Any]:
+    """Inverse bridge of :func:`fold_batchnorm`: lift a folded
+    ``{layer: {kernel, bias}}`` dict (e.g. imported from an ncnn artifact,
+    :func:`yolofastest_tpu.export.ncnn.import_ncnn`) into the full flax
+    ``{'params', 'batch_stats'}`` tree with *identity* batch norms
+    (scale 1, mean 0, bias = folded bias, var chosen so the fold gain is 1
+    to within one float64 ulp) — so every variables consumer (``model.apply``,
+    the CLI's ``--weights``, re-folding for any backend) works unchanged.
+
+    The running statistics are synthetic: fine-tuning from such a tree will
+    re-estimate them from data (expected), and re-folding reproduces the
+    input to within 1 ulp of float32.
+    """
+    var = _identity_bn_var()
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def lift(layer):
+        c = folded[layer]
+        bias = np.asarray(c["bias"], np.float32)
+        nout = bias.shape[0]
+        kernel = np.asarray(c["kernel"], np.float32)
+        # deconv modules hold their kernel directly; convs nest it under
+        # a "conv" submodule (matches the flax module tree / zoo layout)
+        p = ({"kernel": kernel} if layer.startswith("deconv")
+             else {"conv": {"kernel": kernel}})
+        p["bn"] = {"scale": np.ones(nout, np.float32), "bias": bias}
+        s = {"bn": {"mean": np.zeros(nout, np.float32),
+                    "var": np.full(nout, var, np.float32)}}
+        return p, s
+
+    for name in folded:
+        if name.startswith("head"):
+            params[name] = {"kernel": np.asarray(folded[name]["kernel"], np.float32),
+                            "bias": np.asarray(folded[name]["bias"], np.float32)}
+        elif name.startswith("res"):
+            block, sub = name.split("/")
+            params.setdefault(block, {})
+            stats.setdefault(block, {})
+            params[block][sub], stats[block][sub] = lift(name)
+        else:
+            params[name], stats[name] = lift(name)
+    return {"params": params, "batch_stats": stats}
+
+
 # ---------------------------------------------------------------------- executor
 class Executor:
     """Interface the topology walk calls into.  ``conv`` covers 1x1/3x3/5x5,
