@@ -62,6 +62,10 @@ def _load_weights(path: str):
         return checkpoint_variables(path)
     if path.endswith(".pth"):
         return load_torch_checkpoint(path)
+    if path.endswith(".onnx"):
+        from yolofastest_tpu.export import import_onnx
+
+        return import_onnx(path)[0]
     return load_variables(path)
 
 
@@ -674,10 +678,11 @@ def cmd_export(args) -> int:
 def cmd_convert(args) -> int:
     from yolofastest_tpu.models import save_variables
 
-    if getattr(args, "ncnn", None):
-        if args.pth:
-            print("convert: give either --pth or --ncnn, not both")
-            return 2
+    given = [o for o in ("pth", "ncnn", "onnx") if getattr(args, o, None)]
+    if len(given) != 1:
+        print("convert: give exactly one of --pth / --ncnn / --onnx")
+        return 2
+    if args.ncnn:
         from yolofastest_tpu.export import import_ncnn
         from yolofastest_tpu.models import unfold_to_variables
 
@@ -688,9 +693,16 @@ def cmd_convert(args) -> int:
         print("note: batch norms are identity-lifted from the folded "
               "artifact; fine-tuning will re-estimate running stats")
         return 0
-    if not args.pth:
-        print("convert: one of --pth / --ncnn is required")
-        return 2
+    if args.onnx:
+        from yolofastest_tpu.export import import_onnx
+
+        variables, arch, bn_preserved = import_onnx(args.onnx)
+        save_variables(variables, args.out)
+        print(f"{args.onnx} ({arch}) -> {args.out}")
+        if not bn_preserved:
+            print("note: batch norms are identity-lifted from the folded "
+                  "artifact; fine-tuning will re-estimate running stats")
+        return 0
     variables = _load_weights(args.pth)
     save_variables(variables, args.out)
     print(f"{args.pth} -> {args.out}")
@@ -993,8 +1005,8 @@ def build_parser() -> argparse.ArgumentParser:
     x.set_defaults(fn=cmd_export)
 
     c = sub.add_parser("convert",
-                       help="reference .pth, orbax checkpoint dir, or ncnn "
-                            ".param/.bin -> zoo .npz")
+                       help="reference .pth, orbax checkpoint dir, ncnn "
+                            ".param/.bin, or .onnx -> zoo .npz")
     c.add_argument("--pth",
                    help="reference .pth, a .npz, or a train-run epoch_N "
                         "checkpoint dir (extracts the EMA model when the "
@@ -1004,6 +1016,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "imports a compiled deployment artifact, incl. the "
                         "reference's shipped models/ncnn/*-opt files; arch "
                         "is auto-detected")
+    c.add_argument("--onnx",
+                   help=".onnx path — imports torch-exported graphs (BN "
+                        "preserved -> exact unfolded variables, incl. the "
+                        "reference's shipped models/onnx files) and our own "
+                        "BN-folded exports; arch is auto-detected")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_convert)
 

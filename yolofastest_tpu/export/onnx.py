@@ -333,3 +333,195 @@ def export_onnx_qdq(qparams: Dict[str, Dict[str, Any]],
     ex = _QdqOnnxExecutor(qparams, act_scales)
     num_out = int(qparams["head_5"]["kernel_q"].shape[-1])
     return _serialize(ex, arch, input_hw, num_out, path)
+
+
+# ------------------------------------------------------------------- import
+# Reader for the same wire format the exporter above writes.  It exists so
+# the *reference's own shipped* ONNX artifacts
+# (``models/onnx/{256x320,512x640}/YOLO-Fastest_epoch_*.onnx``, produced by
+# ``convert_model/pytorch_to_onnx.py:17-23``) can be lifted back into the
+# framework: torch's exporter preserves BatchNormalization nodes, so the
+# import reconstructs the full *unfolded* flax variables tree — bitwise
+# identical to converting the matching ``.pth`` — and the result is
+# trainable, not just deployable.  Our own BN-folded exports round-trip too
+# (batch norms identity-lifted, like ``import_ncnn``).
+
+
+def _r_uvarint(buf: bytes, i: int) -> Tuple[int, int]:
+    n = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, i
+        shift += 7
+
+
+def _r_fields(buf: bytes):
+    """Yield ``(field, wire, value)`` triples of one serialized message."""
+    i, n = 0, len(buf)
+    while i < n:
+        key, i = _r_uvarint(buf, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            v, i = _r_uvarint(buf, i)
+        elif wire == 2:
+            ln, i = _r_uvarint(buf, i)
+            v = buf[i:i + ln]
+            i += ln
+        elif wire == 5:
+            v = buf[i:i + 4]
+            i += 4
+        elif wire == 1:
+            v = buf[i:i + 8]
+            i += 8
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wire}")
+        yield field, wire, v
+
+
+def _r_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
+    """TensorProto -> (name, float32 array).  Handles the layouts torch and
+    our own writer emit: raw_data or packed/repeated float_data."""
+    name, dims, dtype, raw, floats = "", [], 1, b"", []
+    for f, wire, v in _r_fields(buf):
+        if f == 1:
+            if wire == 0:
+                dims.append(v)
+            else:  # packed varints
+                j = 0
+                while j < len(v):
+                    d, j = _r_uvarint(v, j)
+                    dims.append(d)
+        elif f == 2:
+            dtype = v
+        elif f == 8:
+            name = v.decode()
+        elif f == 9:
+            raw = v
+        elif f == 4:
+            if wire == 5:
+                floats.append(np.frombuffer(v, "<f4"))
+            else:  # packed
+                floats.append(np.frombuffer(v, "<f4"))
+    if dtype != 1:  # onnx TensorProto.FLOAT
+        raise ValueError(f"initializer {name!r}: dtype {dtype} unsupported "
+                         "(fp32 graphs only — QDQ/int8 artifacts are not "
+                         "importable)")
+    if raw:
+        arr = np.frombuffer(raw, "<f4")
+    else:
+        arr = np.concatenate(floats) if floats else np.zeros(0, np.float32)
+    return name, arr.reshape(dims).astype(np.float32)
+
+
+def _parse_onnx(path: str):
+    """-> (nodes, initializers): node = (op_type, inputs, outputs)."""
+    with open(path, "rb") as f:
+        model = list(_r_fields(f.read()))
+    graph = next((v for f_, _, v in model if f_ == 7), None)
+    if graph is None:
+        raise ValueError(f"{path}: no GraphProto — not an ONNX ModelProto?")
+    nodes, init = [], {}
+    for f, _, v in _r_fields(graph):
+        if f == 1:  # NodeProto
+            nf = list(_r_fields(v))
+            op = next(x.decode() for fn, _, x in nf if fn == 4)
+            ins = [x.decode() for fn, _, x in nf if fn == 1]
+            outs = [x.decode() for fn, _, x in nf if fn == 2]
+            nodes.append((op, ins, outs))
+        elif f == 5:  # initializer
+            name, arr = _r_tensor(v)
+            init[name] = arr
+    return nodes, init
+
+
+def import_onnx(path: str, arch: str = None):
+    """Load a YOLO-Fastest ``.onnx`` back into flax variables.
+
+    Returns ``(variables, arch, bn_preserved)``:
+
+    * the reference's shipped exports keep Conv→BatchNormalization pairs, so
+      ``variables`` is the full unfolded ``{'params', 'batch_stats'}`` tree —
+      bitwise equal to ``load_torch_checkpoint`` on the matching ``.pth``
+      (``bn_preserved=True``);
+    * our own :func:`export_onnx` artifacts are BN-folded, so batch norms
+      are identity-lifted (``bn_preserved=False``), exactly like
+      :func:`~yolofastest_tpu.export.ncnn.import_ncnn`.
+
+    torch names initializers numerically, so weights are aligned to graph
+    layers by *weighted-node order*, with every position verified against
+    the expected op type and kernel size (the walk order is locked equal to
+    torch's module order by ``tests/test_import_onnx.py``).
+    """
+    from yolofastest_tpu.export.ncnn import _weight_schedule
+    from yolofastest_tpu.models.graph import unfold_to_variables
+    from yolofastest_tpu.models.torch_io import torch_state_dict_to_variables
+
+    nodes, init = _parse_onnx(path)
+    if any(op in ("QuantizeLinear", "DequantizeLinear") for op, _, _ in nodes):
+        raise ValueError(f"{path}: QDQ (int8) graph — import the fp32 "
+                         "artifact; quantisation is re-derived by calibrate()")
+    weighted = [(op, ins, outs) for op, ins, outs in nodes
+                if op in ("Conv", "ConvTranspose")]
+    bn_by_input = {ins[0]: ins for op, ins, outs in nodes
+                   if op == "BatchNormalization"}
+
+    if arch is None:
+        for cand in ("yolofastest", "yolofastest-lite"):
+            if len(_weight_schedule(cand)) == len(weighted):
+                arch = cand
+                break
+        else:
+            raise ValueError(f"{path}: {len(weighted)} weighted nodes match "
+                             "neither arch")
+    sched = _weight_schedule(arch)
+    if len(sched) != len(weighted):
+        raise ValueError(f"{path}: {len(weighted)} weighted nodes, arch "
+                         f"{arch!r} expects {len(sched)}")
+
+    sd: Dict[str, np.ndarray] = {}
+    folded: Dict[str, Dict[str, np.ndarray]] = {}
+    n_bn = 0
+    for (op, ins, outs), (gname, kind, ksize) in zip(weighted, sched):
+        expect_op = "ConvTranspose" if kind == "deconv" else "Conv"
+        w = init[ins[1]]
+        if op != expect_op or w.ndim != 4 or w.shape[2] != ksize \
+                or (kind == "dw" and w.shape[1] != 1):
+            raise ValueError(
+                f"{path}: node for graph layer {gname!r} is {op} "
+                f"{tuple(w.shape)}, expected {expect_op} k={ksize} — not a "
+                "YOLO-Fastest ONNX graph?")
+        pref = gname.replace("/", ".")
+        bn = bn_by_input.get(outs[0])
+        if kind == "head":
+            if bn is not None:
+                raise ValueError(f"{path}: head {gname!r} followed by BN")
+            sd[f"{pref}.weight"] = w
+            sd[f"{pref}.bias"] = init[ins[2]]
+            folded[gname] = {
+                "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+                "bias": init[ins[2]]}
+            continue
+        if bn is not None:
+            # unfolded: Conv (no bias) + BatchNormalization(scale, B, mean, var)
+            n_bn += 1
+            sd[f"{pref}.0.weight"] = w
+            sd[f"{pref}.1.weight"] = init[bn[1]]
+            sd[f"{pref}.1.bias"] = init[bn[2]]
+            sd[f"{pref}.1.running_mean"] = init[bn[3]]
+            sd[f"{pref}.1.running_var"] = init[bn[4]]
+        else:
+            # folded: conv carries the bias; kernel back to HWIO
+            tr = (2, 3, 0, 1) if kind == "deconv" else (2, 3, 1, 0)
+            folded[gname] = {
+                "kernel": np.ascontiguousarray(w.transpose(tr)),
+                "bias": init[ins[2]]}
+    n_weighted_bn = sum(1 for _, kind, _ in sched if kind != "head")
+    if n_bn == n_weighted_bn:
+        return torch_state_dict_to_variables(sd), arch, True
+    if n_bn == 0:
+        return unfold_to_variables(folded), arch, False
+    raise ValueError(f"{path}: {n_bn}/{n_weighted_bn} convs carry BN — "
+                     "mixed folded/unfolded graph unsupported")
