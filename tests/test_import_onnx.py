@@ -154,3 +154,30 @@ def test_onnx_weights_drive_detect_golden(tmp_path):
                REF_ONNX["256x320"], "--data", str(img_dir), "--out", str(out)])
     assert rc == 0
     assert (out / ("result_" + name)).exists()
+
+
+@pytest.mark.parametrize("blob", [
+    b"", b"\x00", os.urandom(256),
+    b"\x3a\x04\x08\x01\x12\x00",  # valid-ish proto, wrong message shape
+])
+def test_import_corrupt_bytes_fail_clean(tmp_path, blob):
+    """Garbage byte streams raise ValueError with the path — never a raw
+    IndexError/StopIteration out of the wire-format walker."""
+    p = str(tmp_path / "junk.onnx")
+    with open(p, "wb") as f:
+        f.write(blob)
+    with pytest.raises(ValueError):
+        import_onnx(p)
+
+
+def test_import_truncated_real_artifact_fails_clean(tmp_path):
+    """A real export cut mid-initializer fails with a diagnostic."""
+    folded = fold_batchnorm(load_variables(zoo_path("256x320")))
+    full = str(tmp_path / "full.onnx")
+    export_onnx(folded, (64, 96), full)
+    data = open(full, "rb").read()
+    p = str(tmp_path / "trunc.onnx")
+    with open(p, "wb") as f:
+        f.write(data[: len(data) // 2])
+    with pytest.raises(ValueError):
+        import_onnx(p)

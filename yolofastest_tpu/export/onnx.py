@@ -417,24 +417,35 @@ def _r_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
 
 
 def _parse_onnx(path: str):
-    """-> (nodes, initializers): node = (op_type, inputs, outputs)."""
+    """-> (nodes, initializers): node = (op_type, inputs, outputs).
+
+    Truncated/corrupt input surfaces as ``ValueError`` with the path — a
+    hostile byte stream can otherwise reach the wire-format walker as
+    out-of-range reads (IndexError), a node with no op_type field
+    (StopIteration) or an initializer whose payload disagrees with its dims
+    (numpy ValueError)."""
     with open(path, "rb") as f:
-        model = list(_r_fields(f.read()))
-    graph = next((v for f_, _, v in model if f_ == 7), None)
-    if graph is None:
-        raise ValueError(f"{path}: no GraphProto — not an ONNX ModelProto?")
-    nodes, init = [], {}
-    for f, _, v in _r_fields(graph):
-        if f == 1:  # NodeProto
-            nf = list(_r_fields(v))
-            op = next(x.decode() for fn, _, x in nf if fn == 4)
-            ins = [x.decode() for fn, _, x in nf if fn == 1]
-            outs = [x.decode() for fn, _, x in nf if fn == 2]
-            nodes.append((op, ins, outs))
-        elif f == 5:  # initializer
-            name, arr = _r_tensor(v)
-            init[name] = arr
-    return nodes, init
+        data = f.read()
+    try:
+        model = list(_r_fields(data))
+        graph = next((v for f_, _, v in model if f_ == 7), None)
+        if graph is None:
+            raise ValueError("no GraphProto — not an ONNX ModelProto?")
+        nodes, init = [], {}
+        for f, _, v in _r_fields(graph):
+            if f == 1:  # NodeProto
+                nf = list(_r_fields(v))
+                op = next(x.decode() for fn, _, x in nf if fn == 4)
+                ins = [x.decode() for fn, _, x in nf if fn == 1]
+                outs = [x.decode() for fn, _, x in nf if fn == 2]
+                nodes.append((op, ins, outs))
+            elif f == 5:  # initializer
+                name, arr = _r_tensor(v)
+                init[name] = arr
+        return nodes, init
+    except (IndexError, StopIteration, TypeError, UnicodeDecodeError,
+            ValueError) as e:
+        raise ValueError(f"{path}: malformed ONNX ({e})") from e
 
 
 def import_onnx(path: str, arch: str = None):
@@ -484,9 +495,21 @@ def import_onnx(path: str, arch: str = None):
     sd: Dict[str, np.ndarray] = {}
     folded: Dict[str, Dict[str, np.ndarray]] = {}
     n_bn = 0
+    def _init(name: str, what: str) -> np.ndarray:
+        try:
+            return init[name]
+        except KeyError:
+            raise ValueError(f"{path}: {what} {name!r} is not an "
+                             "initializer (external/computed weights "
+                             "unsupported)") from None
+
     for (op, ins, outs), (gname, kind, ksize) in zip(weighted, sched):
         expect_op = "ConvTranspose" if kind == "deconv" else "Conv"
-        w = init[ins[1]]
+        if len(ins) < (3 if kind == "head" else 2) or not outs:
+            raise ValueError(f"{path}: node for graph layer {gname!r} has "
+                             f"{len(ins)} inputs — not a YOLO-Fastest "
+                             "ONNX graph?")
+        w = _init(ins[1], "weight")
         if op != expect_op or w.ndim != 4 or w.shape[2] != ksize \
                 or (kind == "dw" and w.shape[1] != 1):
             raise ValueError(
@@ -499,25 +522,31 @@ def import_onnx(path: str, arch: str = None):
             if bn is not None:
                 raise ValueError(f"{path}: head {gname!r} followed by BN")
             sd[f"{pref}.weight"] = w
-            sd[f"{pref}.bias"] = init[ins[2]]
+            sd[f"{pref}.bias"] = _init(ins[2], "bias")
             folded[gname] = {
                 "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
-                "bias": init[ins[2]]}
+                "bias": sd[f"{pref}.bias"]}
             continue
         if bn is not None:
             # unfolded: Conv (no bias) + BatchNormalization(scale, B, mean, var)
             n_bn += 1
             sd[f"{pref}.0.weight"] = w
-            sd[f"{pref}.1.weight"] = init[bn[1]]
-            sd[f"{pref}.1.bias"] = init[bn[2]]
-            sd[f"{pref}.1.running_mean"] = init[bn[3]]
-            sd[f"{pref}.1.running_var"] = init[bn[4]]
+            if len(bn) < 5:
+                raise ValueError(f"{path}: BN after {gname!r} has "
+                                 f"{len(bn)} inputs, expected 5")
+            sd[f"{pref}.1.weight"] = _init(bn[1], "bn scale")
+            sd[f"{pref}.1.bias"] = _init(bn[2], "bn bias")
+            sd[f"{pref}.1.running_mean"] = _init(bn[3], "bn mean")
+            sd[f"{pref}.1.running_var"] = _init(bn[4], "bn var")
         else:
             # folded: conv carries the bias; kernel back to HWIO
+            if len(ins) < 3:
+                raise ValueError(f"{path}: {gname!r} has neither BN nor "
+                                 "bias — mixed/unknown graph form")
             tr = (2, 3, 0, 1) if kind == "deconv" else (2, 3, 1, 0)
             folded[gname] = {
                 "kernel": np.ascontiguousarray(w.transpose(tr)),
-                "bias": init[ins[2]]}
+                "bias": _init(ins[2], "bias")}
     n_weighted_bn = sum(1 for _, kind, _ in sched if kind != "head")
     if n_bn == n_weighted_bn:
         return torch_state_dict_to_variables(sd), arch, True
