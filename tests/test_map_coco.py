@@ -143,3 +143,81 @@ def test_coco_grid_surface():
     # perfect detection: AP 1.0 at every threshold for class 1
     assert abs(m["mAP_grid"] - 1.0 / cfg.io.num_cls) < 1e-12
     assert abs(mAP - 1.0 / cfg.io.num_cls) < 1e-12
+
+
+def test_size_range_ap_ar_hand_case():
+    """Small + large GT, one exact det each: per-size AP/AR = 1.0, the empty
+    medium range reports -1 (pycocotools' sentinel), and AR@1 sees only the
+    top-1 det per class (half the GT)."""
+    cfg = get_config("256x320")
+    loader, eval_fn = _make_inputs(
+        gt_rows=[(0, 0, 20, 20, 0),      # area 400  -> small (<32^2)
+                 (0, 0, 120, 120, 0)],   # area 14400 -> large (>96^2)
+        det_boxes=[(0, 0, 20, 20), (0, 0, 120, 120)],
+        det_conf=[0.9, 0.8],
+        det_cls=[0, 0],
+        cfg=cfg,
+    )
+    ev = MAPEvaluator(cfg, loader, eval_fn=eval_fn, iou_thresholds=(0.5, 0.75))
+    ev(None)
+    m = ev.last_metrics
+    assert m["AP_small"] == 1.0 and m["AP_large"] == 1.0
+    assert m["AP_medium"] == -1.0 and m["AR_medium"] == -1.0
+    assert m["AR_small"] == 1.0 and m["AR_large"] == 1.0
+    # det pad width is 2 here -> budgets (1, 2, 10)
+    assert m["AR_maxdets"] == {1: 0.5, 2: 1.0, 10: 1.0}
+
+
+def test_out_of_range_unmatched_det_is_ignored_not_fp():
+    """cocoeval ignore semantics: an unmatched detection whose box lies
+    outside the size range is ignored there — AP_small stays 1.0 while the
+    all-range headline AP eats the FP (0.5)."""
+    cfg = get_config("256x320")
+    loader, eval_fn = _make_inputs(
+        gt_rows=[(0, 0, 20, 20, 0)],                       # small GT
+        det_boxes=[(100, 100, 300, 300), (0, 0, 20, 20)],  # spurious large FP first
+        det_conf=[0.95, 0.5],
+        det_cls=[0, 0],
+        cfg=cfg,
+    )
+    ev = MAPEvaluator(cfg, loader, eval_fn=eval_fn, iou_thresholds=(0.5, 0.75))
+    ev(None)
+    m = ev.last_metrics
+    assert m["per_class_ap"][0] == 0.5           # headline: FP outranks TP
+    assert m["AP_small"] == 1.0                  # FP out of range -> ignored
+    assert m["AP_large"] == -1.0                 # no GT in range at all
+    assert m["AR_maxdets"] == {1: 0.0, 2: 1.0, 10: 1.0}
+
+
+def test_match_prefers_non_ignored_gt():
+    """A det overlapping an in-range GT (IOU .687) and an ignored
+    out-of-range GT (IOU .729, higher) must take the in-range one —
+    cocoeval scans non-ignored GT first."""
+    cfg = get_config("256x320")
+    loader, eval_fn = _make_inputs(
+        gt_rows=[(0, 0, 28, 28, 0),    # area 784  -> small
+                 (0, 0, 40, 40, 0)],   # area 1600 -> medium (ignored in small)
+        det_boxes=[(0, 0, 34, 34)],    # +1px IOU: .687 vs small, .729 vs medium
+        det_conf=[0.9],
+        det_cls=[0],
+        cfg=cfg,
+    )
+    ev = MAPEvaluator(cfg, loader, eval_fn=eval_fn, iou_thresholds=(0.5, 0.75))
+    ev(None)
+    m = ev.last_metrics
+    # t=.5: TP on the small GT (prefer non-ignored). t=.75: unmatched, det
+    # area 1156 is out of the small range -> ignored, so no FP either; AP
+    # at .75 is 0 with 1 GT -> mean (1.0 + 0.0)/2.
+    assert abs(m["AP_small"] - 0.5) < 1e-12
+    assert abs(m["AR_small"] - 0.5) < 1e-12
+
+
+def test_single_threshold_mode_has_no_coco_extras():
+    cfg = get_config("256x320")
+    loader, eval_fn = _make_inputs(
+        gt_rows=[(0, 0, 20, 20, 0)],
+        det_boxes=[(0, 0, 20, 20)], det_conf=[0.9], det_cls=[0], cfg=cfg)
+    ev = MAPEvaluator(cfg, loader, eval_fn=eval_fn)
+    ev(None)
+    assert "AP_small" not in ev.last_metrics
+    assert "AR_maxdets" not in ev.last_metrics

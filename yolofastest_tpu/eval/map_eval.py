@@ -44,6 +44,45 @@ from yolofastest_tpu.ops import batched_nms
 # Beyond-reference: validate.py scores a single threshold only.
 COCO_IOU_GRID = tuple(round(0.5 + 0.05 * i, 2) for i in range(10))
 
+# COCO object-size ranges in net-input pixels² (box w*h — boxes, not
+# segmentation masks, so "area" is the box area as in cocoeval's bbox mode).
+COCO_SIZE_RANGES = (
+    ("small", 0.0, 32.0 ** 2),
+    ("medium", 32.0 ** 2, 96.0 ** 2),
+    ("large", 96.0 ** 2, float("inf")),
+)
+
+
+def _match_with_ignores(iou_mat: np.ndarray, ts: np.ndarray,
+                        gt_ig: np.ndarray, det_out: np.ndarray):
+    """Greedy matching with cocoeval's ignore semantics, vectorised across
+    IOU thresholds (`cocoeval.py evaluateImg`): each detection (conf order)
+    takes the best-IOU unmatched GT above threshold, preferring non-ignored
+    GT; a det that only reaches an ignored GT — or stays unmatched with its
+    own box outside the size range (``det_out``) — is *ignored*, not a FP.
+    ``iou_mat`` is the (D, G) class-masked matrix.  Returns ``(tp, ig)``
+    both (D, T) bool."""
+    n_det, n_gt = iou_mat.shape
+    n_t = len(ts)
+    tp = np.zeros((n_det, n_t), bool)
+    ig = np.zeros((n_det, n_t), bool)
+    used = np.zeros((n_t, n_gt), bool)
+    t_idx = np.arange(n_t)
+    for i in range(n_det):
+        rows = np.where(used, -1.0, iou_mat[i][None, :])  # (T, G)
+        reg = np.where(gt_ig[None, :], -1.0, rows)
+        j_reg = reg.argmax(axis=1) if n_gt else np.zeros(n_t, int)
+        hit_reg = reg[t_idx, j_reg] > ts if n_gt else np.zeros(n_t, bool)
+        ign = np.where(gt_ig[None, :], rows, -1.0)
+        j_ig = ign.argmax(axis=1) if n_gt else np.zeros(n_t, int)
+        hit_ig = ign[t_idx, j_ig] > ts if n_gt else np.zeros(n_t, bool)
+        j = np.where(hit_reg, j_reg, j_ig)
+        matched = hit_reg | hit_ig
+        used[matched, j[matched]] = True
+        tp[i] = hit_reg
+        ig[i] = (hit_ig & ~hit_reg) | (~matched & det_out[i])
+    return tp, ig
+
 
 def make_eval_fn(model: YoloFastest, config: Config):
     """Jitted (variables, images) -> fixed-size detection dict.
@@ -215,6 +254,18 @@ class MAPEvaluator:
 
         pad_to = getattr(self.loader, "batch_size", None)
 
+        # COCO-grid mode extras (cocoeval analogues): size-range AP with
+        # ignore semantics + AR at detection budgets.  Off in
+        # single-threshold (reference-parity) mode — zero overhead there.
+        coco = n_t > 1
+        if coco:
+            range_matches = {r: [[] for _ in range(num_cls)]
+                             for r, _, _ in COCO_SIZE_RANGES}
+            range_gt = {r: np.zeros(num_cls, np.int64)
+                        for r, _, _ in COCO_SIZE_RANGES}
+            ar_ks = None   # resolved from the detection pad width (max_det)
+            ar_tp = None   # (C, T, K) matched-GT counts at top-k dets
+
         for imgs, targets in self.loader:
             # Pad a short final batch (drop_last=False loaders) to the
             # compiled batch shape with zero images; only the first n_valid
@@ -245,16 +296,35 @@ class MAPEvaluator:
                 gt_cls = gt[:, 4].astype(np.int32)
                 for c in gt_cls:
                     target_num[c] += 1
+                if coco:
+                    gt_area = ((gt_xyxy[:, 2] - gt_xyxy[:, 0])
+                               * (gt_xyxy[:, 3] - gt_xyxy[:, 1]))
+                    for r, amin, amax in COCO_SIZE_RANGES:
+                        in_r = (gt_area >= amin) & (gt_area < amax)
+                        np.add.at(range_gt[r], gt_cls[in_r], 1)
 
                 n_det = int(det["count"][b])
                 if n_det == 0:
                     continue
                 conf_det = det["conf"][b, :n_det].astype(np.float64)
                 cls_det = det["cls_idx"][b, :n_det].astype(np.int32)
+                if coco:
+                    if ar_tp is None:
+                        ar_ks = tuple(sorted({1, 10, det["boxes"].shape[1]}))
+                        ar_tp = np.zeros((num_cls, n_t, len(ar_ks)), np.int64)
+                    det_boxes = det["boxes"][b, :n_det].astype(np.float64)
+                    det_area = ((det_boxes[:, 2] - det_boxes[:, 0])
+                                * (det_boxes[:, 3] - det_boxes[:, 1]))
                 if len(gt_cls) == 0:
                     fp = np.zeros(n_t, bool)
                     for i in range(n_det):
                         matches[cls_det[i]].append((float(conf_det[i]), fp))
+                        if coco:
+                            for r, amin, amax in COCO_SIZE_RANGES:
+                                out_r = not (amin <= det_area[i] < amax)
+                                range_matches[r][cls_det[i]].append(
+                                    (float(conf_det[i]), fp,
+                                     np.full(n_t, out_r)))
                     continue
                 # One vectorised IOU matrix per image, then a greedy pass in
                 # detection (conf-descending NMS) order over a used-GT mask —
@@ -266,13 +336,32 @@ class MAPEvaluator:
                                    iou_mat, -1.0)
                 used = np.zeros((n_t, len(gt_cls)), bool)
                 t_idx = np.arange(n_t)
+                rank = np.zeros(num_cls, np.int64) if coco else None
                 for i in range(n_det):
                     rows = np.where(used, -1.0, iou_mat[i][None, :])  # (T, G)
                     j = rows.argmax(axis=1)  # best unmatched GT (divergence, see module doc)
                     hit = rows[t_idx, j] > ts
                     used[hit, j[hit]] = True
                     matches[cls_det[i]].append((float(conf_det[i]), hit))
+                    if coco:
+                        # greedy-prefix property: matching of det i never
+                        # depends on later dets, so TP among a class's
+                        # top-k dets == matched GT when only they are kept
+                        c = cls_det[i]
+                        for ki, k in enumerate(ar_ks):
+                            if rank[c] < k:
+                                ar_tp[c, :, ki] += hit
+                        rank[c] += 1
                 gt_matched += int(used[0].sum())
+                if coco:
+                    for r, amin, amax in COCO_SIZE_RANGES:
+                        gt_ig = ~((gt_area >= amin) & (gt_area < amax))
+                        det_out = ~((det_area >= amin) & (det_area < amax))
+                        tp_r, ig_r = _match_with_ignores(
+                            iou_mat, ts, gt_ig, det_out)
+                        for i in range(n_det):
+                            range_matches[r][cls_det[i]].append(
+                                (float(conf_det[i]), tp_r[i], ig_r[i]))
 
         log = self.logger.info if self.logger else print
         log("—————— epoch: %d validation results —————" % epoch)
@@ -309,6 +398,54 @@ class MAPEvaluator:
             self.last_metrics["mAP_grid"] = map_grid
             log("mean AP@[%.2f:%.2f]: %.3f (%d IOU thresholds)"
                 % (ts[0], ts[-1], map_grid, n_t))
+
+            # ------- cocoeval's remaining summary rows (bbox mode) -------
+            # AP/AR by object size (range means exclude classes with no GT
+            # in the range; -1 when the whole range is empty, like
+            # pycocotools' summarize()).
+            for r, _, _ in COCO_SIZE_RANGES:
+                aps = np.full((num_cls, n_t), np.nan)
+                recs = np.full((num_cls, n_t), np.nan)
+                for c in range(num_cls):
+                    if range_gt[r][c] == 0:
+                        continue
+                    m = range_matches[r][c]
+                    confs = np.array([x[0] for x in m], np.float64)
+                    tps = np.array([x[1] for x in m], bool).reshape(-1, n_t)
+                    igs = np.array([x[2] for x in m], bool).reshape(-1, n_t)
+                    for t in range(n_t):
+                        keep = ~igs[:, t]
+                        aps[c, t] = average_precision(
+                            confs[keep], tps[keep, t], int(range_gt[r][c]))
+                    recs[c] = tps.sum(axis=0) / float(range_gt[r][c])
+                has = np.isfinite(aps).any()
+                self.last_metrics[f"AP_{r}"] = (
+                    float(np.nanmean(aps)) if has else -1.0)
+                self.last_metrics[f"AR_{r}"] = (
+                    float(np.nanmean(recs)) if has else -1.0)
+            if ar_tp is None:   # no detections anywhere
+                ar_ks = (1, 10, 100)
+                ar_tp = np.zeros((num_cls, n_t, len(ar_ks)), np.int64)
+            have_gt = target_num > 0
+            ar_by_k = {}
+            for ki, k in enumerate(ar_ks):
+                if have_gt.any():
+                    rec = ar_tp[have_gt, :, ki] / target_num[have_gt, None]
+                    ar_by_k[int(k)] = float(rec.mean())
+                else:
+                    ar_by_k[int(k)] = -1.0
+            self.last_metrics["AR_maxdets"] = ar_by_k
+            log("AP@[%.2f:%.2f] small/medium/large: %.3f / %.3f / %.3f"
+                % (ts[0], ts[-1], self.last_metrics["AP_small"],
+                   self.last_metrics["AP_medium"],
+                   self.last_metrics["AP_large"]))
+            log("AR@[%.2f:%.2f] maxdets %s: %s; small/medium/large: "
+                "%.3f / %.3f / %.3f"
+                % (ts[0], ts[-1], "/".join(str(k) for k in ar_ks),
+                   " / ".join("%.3f" % ar_by_k[int(k)] for k in ar_ks),
+                   self.last_metrics["AR_small"],
+                   self.last_metrics["AR_medium"],
+                   self.last_metrics["AR_large"]))
         log("detection rate: %.3f (%d/%d targets)"
             % (detection_rate, gt_matched, n_gt))
         log("——————————————————————————")
