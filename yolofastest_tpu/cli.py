@@ -763,6 +763,50 @@ def cmd_anchors(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Model summary (per-layer shapes/params/MACs from the deployment
+    topology walk) — the reference has no model introspection at all."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolofastest_tpu.models import fold_batchnorm
+    from yolofastest_tpu.models.summary import (device_cost_analysis,
+                                                format_summary, summarize)
+
+    cfg = _get_config(args)
+    _check_arch_config(cfg, args.arch)
+    arch = "yolofastest-lite" if args.arch == "lite" else "yolofastest"
+    if args.weights:
+        variables = _load_weights(args.weights)
+    else:
+        # shapes/params only need channel counts: init a fresh model
+        if args.arch == "lite":
+            from yolofastest_tpu.models import YoloFastestLite as _Cls
+        else:
+            from yolofastest_tpu.models import YoloFastest as _Cls
+        model = _Cls(num_cls=cfg.io.num_cls, num_anchors=cfg.io.num_anchors)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 96, 1), jnp.float32),
+                               train=False)
+    folded = fold_batchnorm(jax.device_get(variables))
+    s = summarize(folded, cfg.io.input_hw, arch=arch)
+    cost = None
+    if args.device_cost:
+        cost = device_cost_analysis(folded, cfg.io.input_hw, arch=arch,
+                                    batch=args.batch)
+    print(format_summary(s, device_cost=cost))
+    if args.json_out:
+        out = dict(s)
+        if cost:
+            out["device_cost"] = cost
+        with open(args.json_out, "w") as f:
+            _json.dump(out, f, indent=1)
+        print("wrote", args.json_out)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="yolofastest_tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -1003,6 +1047,22 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--qat-lr", type=float, default=1e-4,
                    help="Adam learning rate for --qat-steps")
     x.set_defaults(fn=cmd_export)
+
+    i = sub.add_parser("info", help="model summary: per-layer shapes, "
+                       "params, MACs (optionally XLA compiled cost)")
+    i.add_argument("--config", default="256x320")
+    i.add_argument("--config-json")
+    i.add_argument("--arch", choices=["fastest", "lite"], default="fastest")
+    i.add_argument("--weights", help="optional .npz/.pth/.onnx/checkpoint "
+                   "dir; fresh init when omitted (shapes need only channel "
+                   "counts)")
+    i.add_argument("--device-cost", action="store_true",
+                   help="also compile the folded forward and report XLA's "
+                        "FLOPs / HBM-bytes per image")
+    i.add_argument("--batch", type=int, default=8,
+                   help="batch for --device-cost")
+    i.add_argument("--json-out", help="also dump the summary dict as JSON")
+    i.set_defaults(fn=cmd_info)
 
     c = sub.add_parser("convert",
                        help="reference .pth, orbax checkpoint dir, ncnn "
