@@ -167,3 +167,18 @@ def test_cli_convert_ncnn_then_detect(tmp_path):
     assert (out / ("result_" + name)).exists()
     log = (out / "detect_info.log").read_text()
     assert name.rsplit(".", 1)[0] in log
+
+
+@pytest.mark.parametrize("blob", ["", "junk\n", "7767517\n",
+                                  "7767517\n2 2\nConvolution c0 x\n",
+                                  "7767517\n3 3\nInput data 0 1 data\n"])
+def test_import_corrupt_param_fails_clean(tmp_path, blob):
+    """Malformed .param text raises ValueError with the path — never a raw
+    IndexError/int() error out of the token walker."""
+    pp = str(tmp_path / "junk.param")
+    with open(pp, "w") as f:
+        f.write(blob)
+    with open(pp[:-6] + ".bin", "wb") as f:
+        f.write(b"")
+    with pytest.raises(ValueError, match="junk.param"):
+        import_ncnn(pp)

@@ -189,24 +189,39 @@ _WEIGHTED_TYPES = ("Convolution", "ConvolutionDepthWise", "Deconvolution")
 
 def _parse_param(param_path: str) -> List[Dict[str, Any]]:
     """Magic-7767517 text param -> ordered layer dicts
-    {type, name, ins, outs, params{int: str}}."""
-    lines = [ln.split() for ln in open(param_path).read().splitlines()
-             if ln.strip()]
-    if lines[0] != ["7767517"]:
-        raise ValueError(f"{param_path}: bad ncnn param magic {lines[0]}")
-    n_layers = int(lines[1][0])
-    layers = []
-    for toks in lines[2:2 + n_layers]:
-        typ, name, nin, nout = toks[0], toks[1], int(toks[2]), int(toks[3])
-        ins = toks[4:4 + nin]
-        outs = toks[4 + nin:4 + nin + nout]
-        params = {}
-        for kv in toks[4 + nin + nout:]:
-            k, v = kv.split("=", 1)
-            params[int(k)] = v
-        layers.append({"type": typ, "name": name, "ins": ins, "outs": outs,
-                       "params": params})
-    return layers
+    {type, name, ins, outs, params{int: str}}.  Malformed input fails as
+    ``ValueError`` with the path (truncated/garbage files would otherwise
+    leak IndexError/int() errors from the token walker)."""
+    try:
+        lines = [ln.split() for ln in open(param_path).read().splitlines()
+                 if ln.strip()]
+        if not lines or lines[0] != ["7767517"]:
+            raise ValueError(
+                f"bad ncnn param magic {lines[0] if lines else '(empty)'}")
+        n_layers = int(lines[1][0])
+        if len(lines) < 2 + n_layers:
+            raise ValueError(f"header claims {n_layers} layers, file has "
+                             f"{len(lines) - 2} lines")
+        layers = []
+        for toks in lines[2:2 + n_layers]:
+            typ, name, nin, nout = toks[0], toks[1], int(toks[2]), int(toks[3])
+            ins = toks[4:4 + nin]
+            outs = toks[4 + nin:4 + nin + nout]
+            if len(ins) != nin or len(outs) != nout:
+                raise ValueError(f"layer {name!r}: truncated blob list")
+            params = {}
+            for kv in toks[4 + nin + nout:]:
+                k, v = kv.split("=", 1)
+                params[int(k)] = v
+            layers.append({"type": typ, "name": name, "ins": ins,
+                           "outs": outs, "params": params})
+        return layers
+    except ValueError as e:
+        raise ValueError(f"{param_path}: malformed ncnn param ({e})"
+                         if param_path not in str(e) else str(e)) from None
+    except IndexError as e:
+        raise ValueError(
+            f"{param_path}: malformed ncnn param ({e})") from None
 
 
 def import_ncnn(param_path: str, bin_path: Optional[str] = None,
