@@ -92,7 +92,9 @@ def _tensor(buf):
                        list(struct.unpack(f"<{len(v) // 4}f", v)))
     if dtype == 3:  # INT8 (QDQ-form quantized weights / zero points)
         return name, np.frombuffer(raw, np.int8).reshape(dims)
-    assert dtype == 1, f"only FLOAT initializers supported, got {dtype}"
+    if dtype == 7:  # INT64 (shape/axes operands, NMS max_output)
+        return name, np.frombuffer(raw, "<i8").reshape(dims)
+    assert dtype == 1, f"only FLOAT/INT8/INT64 initializers, got {dtype}"
     data = (np.frombuffer(raw, "<f4") if raw is not None
             else np.asarray(floats, np.float32))
     return name, data.reshape(dims)
@@ -171,6 +173,42 @@ def _conv_transpose(x, w, b, strides):
     return y + b[None, :, None, None]
 
 
+def _nms(boxes, scores, max_per_class, iou_t, score_t, center):
+    """ONNX NonMaxSuppression: boxes (N,B,4), scores (N,C,B) ->
+    (S, 3) int64 [batch, class, box] rows (standard IOU, greedy by score,
+    per-class cap)."""
+    if center:  # (xc, yc, w, h) -> corners
+        xc, yc, w, h = (boxes[..., i] for i in range(4))
+        boxes = np.stack([xc - w / 2, yc - h / 2,
+                          xc + w / 2, yc + h / 2], axis=-1)
+    out = []
+    for b in range(scores.shape[0]):
+        for c in range(scores.shape[1]):
+            sc = scores[b, c]
+            cand = np.argsort(-sc, kind="stable")
+            cand = cand[sc[cand] > score_t]
+            kept = []
+            for i in cand:
+                if len(kept) >= max_per_class:
+                    break
+                bi = boxes[b, i]
+                ok = True
+                for j in kept:
+                    bj = boxes[b, j]
+                    x1 = max(bi[0], bj[0]); y1 = max(bi[1], bj[1])
+                    x2 = min(bi[2], bj[2]); y2 = min(bi[3], bj[3])
+                    inter = max(x2 - x1, 0.0) * max(y2 - y1, 0.0)
+                    ua = ((bi[2] - bi[0]) * (bi[3] - bi[1])
+                          + (bj[2] - bj[0]) * (bj[3] - bj[1]) - inter)
+                    if inter / max(ua, 1e-12) > iou_t:
+                        ok = False
+                        break
+                if ok:
+                    kept.append(i)
+            out += [[b, c, int(i)] for i in kept]
+    return np.array(out if out else np.zeros((0, 3)), np.int64)
+
+
 def run(nodes, init, feeds):
     env = dict(init)
     env.update(feeds)
@@ -205,6 +243,39 @@ def run(nodes, init, feeds):
                 if np.ndim(zp):
                     zp = zp.reshape(shape)
             y = ((a[0].astype(np.int32) - zp) * scale).astype(np.float32)
+        elif op == "Sub":
+            y = a[0] - a[1]
+        elif op == "Mul":
+            y = a[0] * a[1]
+        elif op == "Sigmoid":
+            y = 1.0 / (1.0 + np.exp(-a[0]))
+        elif op == "Exp":
+            y = np.exp(a[0])
+        elif op == "Reshape":
+            shape = [int(d) if d != 0 else a[0].shape[i]
+                     for i, d in enumerate(a[1])]  # 0 = copy input dim
+            y = a[0].reshape(shape)
+        elif op == "Transpose":
+            y = a[0].transpose(attrs["perm"])
+        elif op == "Slice":
+            data, starts, ends = a[0], a[1], a[2]
+            axes = a[3] if len(a) > 3 else range(len(starts))
+            sl = [slice(None)] * data.ndim
+            for ax, st, en in zip(axes, starts, ends):
+                sl[int(ax)] = slice(int(st), int(en))
+            y = data[tuple(sl)]
+        elif op == "ReduceMax":
+            y = a[0].max(axis=tuple(attrs["axes"]),
+                         keepdims=bool(attrs.get("keepdims", 1)))
+        elif op == "Equal":
+            y = a[0] == a[1]
+        elif op == "Cast":
+            y = a[0].astype({1: np.float32, 7: np.int64,
+                             9: np.bool_}[attrs["to"]])
+        elif op == "NonMaxSuppression":
+            y = _nms(a[0], a[1], int(a[2]), float(a[3]),
+                     float(a[4]) if len(a) > 4 else 0.0,
+                     center=bool(attrs.get("center_point_box", 0)))
         else:
             raise NotImplementedError(f"op {op}")
         env[outs[0]] = y

@@ -627,6 +627,11 @@ def cmd_export(args) -> int:
     export_onnx(folded, cfg.io.input_hw, os.path.join(args.out, "model.onnx"),
                 arch=graph_arch)
     print("wrote", os.path.join(args.out, "model.onnx"))
+    from yolofastest_tpu.export import export_onnx_detect
+
+    export_onnx_detect(folded, cfg, os.path.join(args.out, "detect.onnx"),
+                       arch=graph_arch)
+    print("wrote", os.path.join(args.out, "detect.onnx"))
     from yolofastest_tpu.export import export_ncnn
 
     export_ncnn(folded, cfg.io.input_hw, os.path.join(args.out, "model.param"),

@@ -81,6 +81,7 @@ def _packed_ints(field: int, values) -> bytes:
 # ------------------------------------------------------------ ONNX messages
 _FLOAT = 1  # TensorProto.DataType.FLOAT
 _INT8 = 3  # TensorProto.DataType.INT8
+_INT64 = 7  # TensorProto.DataType.INT64
 _ATTR_INT, _ATTR_INTS = 2, 7  # AttributeProto.AttributeType
 
 
@@ -95,6 +96,13 @@ def _tensor_i8(name: str, array: np.ndarray) -> bytes:
     """Int8 TensorProto (quantized weights / zero points)."""
     a = np.ascontiguousarray(array, dtype=np.int8)
     return (_packed_ints(1, a.shape) + _i(2, _INT8) + _s(8, name)
+            + _ld(9, a.tobytes()))
+
+
+def _tensor_i64(name: str, array: np.ndarray) -> bytes:
+    """Int64 TensorProto (shape/axes operands of shape-manipulation ops)."""
+    a = np.ascontiguousarray(array, dtype=np.int64)
+    return (_packed_ints(1, a.shape) + _i(2, _INT64) + _s(8, name)
             + _ld(9, a.tobytes()))
 
 
@@ -116,12 +124,12 @@ def _node(op_type: str, inputs: List[str], outputs: List[str], name: str,
     return buf
 
 
-def _value_info(name: str, shape: Tuple) -> bytes:
-    """ValueInfoProto with a float tensor type; str dims become dim_param."""
+def _value_info(name: str, shape: Tuple, elem_type: int = _FLOAT) -> bytes:
+    """ValueInfoProto with a tensor type; str dims become dim_param."""
     dims = b""
     for d in shape:
         dims += _ld(1, _s(2, d) if isinstance(d, str) else _i(1, int(d)))
-    tensor_type = _i(1, _FLOAT) + _ld(2, dims)  # elem_type, shape
+    tensor_type = _i(1, elem_type) + _ld(2, dims)  # elem_type, shape
     return _s(1, name) + _ld(2, _ld(1, tensor_type))  # name, type.tensor_type
 
 
@@ -405,6 +413,8 @@ def _r_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
                 floats.append(np.frombuffer(v, "<f4"))
             else:  # packed
                 floats.append(np.frombuffer(v, "<f4"))
+    if dtype == _INT64:  # shape/axes operands of a detect-pipeline tail
+        return name, np.frombuffer(raw, "<i8").reshape(dims)
     if dtype != 1:  # onnx TensorProto.FLOAT
         raise ValueError(f"initializer {name!r}: dtype {dtype} unsupported "
                          "(fp32 graphs only — QDQ/int8 artifacts are not "
@@ -554,3 +564,165 @@ def import_onnx(path: str, arch: str = None):
         return unfold_to_variables(folded), arch, False
     raise ValueError(f"{path}: {n_bn}/{n_weighted_bn} convs carry BN — "
                      "mixed folded/unfolded graph unsupported")
+
+
+# --------------------------------------------------- detect pipeline (ONNX)
+class _DetectTail:
+    """Appends the decode + NMS tail onto an :class:`_OnnxExecutor` graph:
+    normalization, per-head YOLO decode (the exact
+    :func:`~yolofastest_tpu.losses.yolo_loss.decode_for_eval` math as
+    Sigmoid/Exp/Mul/Add over reshaped NCHW heads) and class-aware
+    ``NonMaxSuppression``."""
+
+    def __init__(self, ex: _OnnxExecutor):
+        self.ex = ex
+
+    def n(self, op: str, ins, attrs=(), stem: str = None) -> str:
+        out = self.ex._uniq(stem or op.lower())
+        self.ex.nodes.append(_node(op, list(ins), [out], out, list(attrs)))
+        return out
+
+    def const(self, arr: np.ndarray, name: str) -> str:
+        a = np.asarray(arr)
+        name = self.ex._uniq(name)
+        t = _tensor_i64(name, a) if a.dtype.kind == "i" else _tensor(
+            name, a.astype(np.float32))
+        self.ex.initializers.append(t)
+        return name
+
+    def slice2(self, x, lo, hi, stem):
+        return self.n("Slice", [x,
+                                self.const(np.array([lo], np.int64), "st"),
+                                self.const(np.array([hi], np.int64), "en"),
+                                self.const(np.array([2], np.int64), "ax")],
+                      stem=stem)
+
+    def decode_head(self, head: str, hw, stride: int, anchors,
+                    num_anchors: int, num_cls: int):
+        """-> (boxes (N, A*h*w, 4) center-form pixels, scores (N, C, A*h*w)
+        single-label: conf at the argmax class, 0 elsewhere)."""
+        h, w = hw[0] // stride, hw[1] // stride
+        na, nf = num_anchors, 5 + num_cls
+        t = self.n("Reshape", [head, self.const(
+            np.array([0, na, nf, h, w], np.int64), "shape")], stem="thead")
+        tx, ty = self.slice2(t, 0, 1, "tx"), self.slice2(t, 1, 2, "ty")
+        tw, th = self.slice2(t, 2, 3, "tw"), self.slice2(t, 3, 4, "th")
+        tconf, tcls = self.slice2(t, 4, 5, "tconf"), self.slice2(t, 5, nf, "tcls")
+
+        grid_x = np.broadcast_to(np.arange(w, dtype=np.float32),
+                                 (1, 1, 1, h, w))
+        grid_y = np.broadcast_to(np.arange(h, dtype=np.float32)[:, None],
+                                 (1, 1, 1, h, w))
+        stride_w = hw[1] / w
+        stride_h = hw[0] / h
+        anc = np.asarray(anchors, np.float32)  # (A, 2) in input pixels
+        xc = self.n("Mul", [self.n("Add", [self.n("Sigmoid", [tx]),
+                                           self.const(grid_x, "gx")]),
+                            self.const(np.float32(stride_w), "sw")], stem="xc")
+        yc = self.n("Mul", [self.n("Add", [self.n("Sigmoid", [ty]),
+                                           self.const(grid_y, "gy")]),
+                            self.const(np.float32(stride_h), "sh")], stem="yc")
+        bw = self.n("Mul", [self.n("Exp", [tw]),
+                            self.const(anc[:, 0].reshape(1, na, 1, 1, 1),
+                                       "aw")], stem="bw")
+        bh = self.n("Mul", [self.n("Exp", [th]),
+                            self.const(anc[:, 1].reshape(1, na, 1, 1, 1),
+                                       "ah")], stem="bh")
+        box = self.n("Concat", [xc, yc, bw, bh], [_attr_int("axis", 2)],
+                     stem="box")                       # (N, A, 4, h, w)
+        box = self.n("Transpose", [box],
+                     [_attr_ints("perm", (0, 1, 3, 4, 2))], stem="boxt")
+        box = self.n("Reshape", [box, self.const(
+            np.array([0, na * h * w, 4], np.int64), "bshape")], stem="boxes")
+
+        conf = self.n("Sigmoid", [tconf], stem="conf")   # (N, A, 1, h, w)
+        cls = self.n("Sigmoid", [tcls], stem="cls")      # (N, A, C, h, w)
+        # single-label semantics (batched_nms classifies by argmax): only
+        # the max class keeps the objectness score
+        mx = self.n("ReduceMax", [cls], [_attr_ints("axes", (2,)),
+                                         _attr_int("keepdims", 1)], stem="mx")
+        mask = self.n("Cast", [self.n("Equal", [cls, mx])],
+                      [_attr_int("to", _FLOAT)], stem="mask")
+        sc = self.n("Mul", [conf, mask], stem="sc")      # (N, A, C, h, w)
+        sc = self.n("Transpose", [sc],
+                    [_attr_ints("perm", (0, 2, 1, 3, 4))], stem="sct")
+        sc = self.n("Reshape", [sc, self.const(
+            np.array([0, num_cls, na * h * w], np.int64), "sshape")],
+            stem="scores")
+        return box, sc
+
+
+def export_onnx_detect(folded: Dict[str, Dict[str, Any]], config,
+                       path: str, arch: str = "yolofastest") -> str:
+    """Serialise the FULL detect pipeline as ``detect.onnx``: raw grayscale
+    frames in, class-aware NMS out — the portable-format counterpart of the
+    StableHLO ``detect.stablehlo`` artifact (the reference's exported ONNX,
+    like our ``model.onnx``, stops at the head logits and leaves
+    decode/NMS to hand-written consumer code, ``YOLO_ncnn.cpp:83-167``).
+
+    Graph I/O:
+
+    * input ``image`` — ``(N, 1, H, W)`` float32, RAW 0..255 grayscale
+      (the reference's ``(pixel - 128) / 255`` normalisation is the first
+      two nodes);
+    * output ``boxes`` — ``(N, B, 4)`` center-form ``(xc, yc, w, h)`` in
+      input pixels (every candidate, :func:`decode_for_eval` math);
+    * output ``scores`` — ``(N, num_cls, B)`` single-label scores
+      (objectness at the argmax class, 0 elsewhere — matching
+      ``batched_nms``'s argmax classification);
+    * output ``selected`` — ``(S, 3)`` int64 ``[batch, class, box]`` rows
+      from ``NonMaxSuppression`` (``center_point_box=1``,
+      ``score_threshold=conf_thre``, ``iou_threshold=nms_thre``,
+      ``max_output_boxes_per_class=max_det``).
+
+    Documented divergences from the on-device pipeline: standard IOU (the
+    ONNX op has no +1px convention), the detection cap applies per class
+    rather than globally, and boxes stay float (no integer rounding) — so
+    parity with the golden detections is asserted at detection level
+    (``tests/test_export_onnx_detect.py``), not bitwise.
+    """
+    io = config.io
+    ex = _OnnxExecutor(folded)
+    b = _DetectTail(ex)
+    x = b.n("Mul", [b.n("Sub", ["image", b.const(np.float32(128.0), "m")]),
+                    b.const(np.float32(1.0 / 255.0), "s")], stem="norm")
+    walk = {"yolofastest": walk_topology,
+            "yolofastest-lite": walk_topology_lite}[arch]
+    result = walk(x, ex)
+    heads = list(result) if arch == "yolofastest" else [result]
+
+    boxes_l, scores_l = [], []
+    for head, stride, anchors in zip(heads, io.strides, io.anchors):
+        bx, sc = b.decode_head(head, io.input_hw, stride, anchors,
+                               io.num_anchors, io.num_cls)
+        boxes_l.append(bx)
+        scores_l.append(sc)
+    if len(heads) > 1:
+        boxes = b.n("Concat", boxes_l, [_attr_int("axis", 1)], stem="allbox")
+        scores = b.n("Concat", scores_l, [_attr_int("axis", 2)], stem="allsc")
+    else:
+        boxes, scores = boxes_l[0], scores_l[0]
+    ex.nodes.append(_node("Identity", [boxes], ["boxes"], "out_boxes"))
+    ex.nodes.append(_node("Identity", [scores], ["scores"], "out_scores"))
+    ex.nodes.append(_node(
+        "NonMaxSuppression",
+        ["boxes", "scores",
+         b.const(np.array(io.max_det, np.int64), "maxdet"),
+         b.const(np.float32(io.nms_thre), "iou_t"),
+         b.const(np.float32(io.conf_thre), "conf_t")],
+        ["selected"], "nms", [_attr_int("center_point_box", 1)]))
+
+    h, w = io.input_hw
+    n_box = sum(io.num_anchors * (h // s) * (w // s) for s in io.strides)
+    graph = b"".join(_ld(1, n) for n in ex.nodes)
+    graph += _s(2, f"{arch}_detect_{h}x{w}")
+    graph += b"".join(_ld(5, t) for t in ex.initializers)
+    graph += _ld(11, _value_info("image", ("N", 1, h, w)))
+    graph += _ld(12, _value_info("boxes", ("N", n_box, 4)))
+    graph += _ld(12, _value_info("scores", ("N", io.num_cls, n_box)))
+    graph += _ld(12, _value_info("selected", ("S", 3), _INT64))
+    model = (_i(1, _IR_VERSION) + _s(2, "yolofastest_tpu") + _s(3, "0.3")
+             + _ld(7, graph) + _ld(8, _i(2, OPSET)))
+    with open(path, "wb") as f:
+        f.write(model)
+    return path
