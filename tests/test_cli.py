@@ -102,7 +102,7 @@ def test_cli_export_writes_all_artifacts(tmp_path, monkeypatch):
                "--out", str(out), "--batch", "2"])
     assert rc == 0
     for artifact in ("model.yfb", "model_int8.yfb", "model.pt", "model.onnx",
-                     "model.param", "model.bin",
+                     "detect.onnx", "model.param", "model.bin",
                      "model.prototxt", "model.caffemodel",
                      "forward.stablehlo", "detect.stablehlo"):
         assert os.path.exists(out / artifact), artifact
