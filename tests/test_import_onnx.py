@@ -181,3 +181,26 @@ def test_import_truncated_real_artifact_fails_clean(tmp_path):
         f.write(data[: len(data) // 2])
     with pytest.raises(ValueError):
         import_onnx(p)
+
+
+def test_import_wire0_optype_fails_clean(tmp_path):
+    """A NodeProto whose op_type field arrives as a varint (wire 0) —
+    reachable from random bytes — must fail as ValueError, not
+    AttributeError out of .decode() (code-review finding)."""
+    p = str(tmp_path / "w0.onnx")
+    with open(p, "wb") as f:
+        f.write(bytes.fromhex("3a040a022001"))
+    with pytest.raises(ValueError):
+        import_onnx(p)
+
+
+def test_weights_arch_mismatch_fails_clean(tmp_path):
+    """CLI: a lite .onnx under the default --arch fastest exits with a
+    clean diagnostic instead of a KeyError in the topology walk."""
+    from yolofastest_tpu.cli import main
+
+    folded = fold_batchnorm(load_variables(zoo_path("lite_256x320")))
+    p = str(tmp_path / "lite.onnx")
+    export_onnx(folded, (256, 320), p, arch="yolofastest-lite")
+    with pytest.raises(SystemExit, match="single-head"):
+        main(["info", "--config", "256x320", "--weights", p])

@@ -50,7 +50,19 @@ def _get_config(args):
     return get_config(args.config)
 
 
-def _load_weights(path: str):
+def _check_arch_weights(variables, arch: str, path: str) -> None:
+    """Fail fast when the loaded weights' head set contradicts --arch (a
+    lite tree walked as the two-head graph dies with a raw KeyError
+    otherwise)."""
+    two_head = "head_4" in variables.get("params", {})
+    if two_head != (arch != "lite"):
+        kind = "two-head" if two_head else "single-head (lite)"
+        want = "fastest" if two_head else "lite"
+        raise SystemExit(f"{path} holds a {kind} model but --arch is "
+                         f"{arch!r}; pass --arch {want}")
+
+
+def _load_weights(path: str, arch: str = None):
     from yolofastest_tpu.models import load_variables
     from yolofastest_tpu.models.torch_io import load_torch_checkpoint
 
@@ -65,8 +77,12 @@ def _load_weights(path: str):
     if path.endswith(".onnx"):
         from yolofastest_tpu.export import import_onnx
 
-        return import_onnx(path)[0]
-    return load_variables(path)
+        variables = import_onnx(path)[0]
+    else:
+        variables = load_variables(path)
+    if arch is not None:
+        _check_arch_weights(variables, arch, path)
+    return variables
 
 
 def _load_calibration(data_dir: str, io, k: int = 8):
@@ -176,7 +192,8 @@ def cmd_detect(args) -> int:
         from yolofastest_tpu.native import NativeEngine
         from yolofastest_tpu.utils.visualize import CLASS_COLORS, plot_one_box
 
-        folded = fold_batchnorm(_load_weights(args.weights))
+        folded = fold_batchnorm(
+            _load_weights(args.weights, getattr(args, "arch", None)))
         yfb = os.path.join(args.out, "model.yfb")
         if args.backend == "native-int8":
             # int8-arithmetic C++ engine: quantised weights + activation
@@ -219,7 +236,7 @@ def cmd_detect(args) -> int:
 
     from yolofastest_tpu.inference import Detector
 
-    variables = _load_weights(args.weights)
+    variables = _load_weights(args.weights, getattr(args, "arch", None))
     backend = "fp" if args.backend == "jax" else args.backend  # legacy alias
     calibration = None
     cache = None
@@ -295,7 +312,8 @@ def _build_engine(args, cfg, backend, calib_data):
         from yolofastest_tpu.models import fold_batchnorm
         from yolofastest_tpu.native import NativeEngine
 
-        folded = fold_batchnorm(_load_weights(args.weights))
+        folded = fold_batchnorm(
+            _load_weights(args.weights, getattr(args, "arch", None)))
         # The engine loads everything into memory at construction, so the
         # .yfb staging file can be deleted immediately (no /tmp litter
         # across restarts).
@@ -322,7 +340,8 @@ def _build_engine(args, cfg, backend, calib_data):
         if resolved is None:
             return None
         calibration, cache = resolved
-    return Detector(cfg, variables=_load_weights(args.weights),
+    return Detector(cfg, variables=_load_weights(args.weights,
+                                                  getattr(args, "arch", None)),
                     fold_bn=True, backend=backend,
                     calibration=calibration, calibration_cache=cache,
                     arch=args.arch, tta=getattr(args, "tta", False))
@@ -454,7 +473,8 @@ def cmd_train(args) -> int:
                                  arch=args.arch,
                                  iou_thresholds=iou_thresholds)
 
-    variables = _load_weights(args.pretrained) if args.pretrained else None
+    variables = (_load_weights(args.pretrained, args.arch)
+                 if args.pretrained else None)
     if variables is not None:
         logger.info("Load pretrained model %s" % args.pretrained)
     else:
@@ -464,8 +484,9 @@ def cmd_train(args) -> int:
     if args.distill_teacher:
         from yolofastest_tpu.train import make_teacher_fn
 
-        distill_fn = make_teacher_fn(_load_weights(args.distill_teacher),
-                                     arch=args.distill_arch)
+        distill_fn = make_teacher_fn(
+            _load_weights(args.distill_teacher, args.distill_arch),
+            arch=args.distill_arch)
         logger.info("Distilling from %s (%s) with weight %g"
                     % (args.distill_teacher, args.distill_arch,
                        args.distill_weight))
@@ -535,7 +556,8 @@ def cmd_eval(args) -> int:
         import jax
         import jax.numpy as jnp
 
-        variables = jax.tree.map(jnp.asarray, _load_weights(args.weights))
+        variables = jax.tree.map(
+            jnp.asarray, _load_weights(args.weights, getattr(args, "arch", None)))
     else:
         # Deployment mAP: score what the deployed artifact actually detects
         # (BN-folded graph, detect-path rounding/NMS) — through the jax
@@ -582,7 +604,7 @@ def cmd_export(args) -> int:
     cfg = _get_config(args)
     _check_arch_config(cfg, getattr(args, "arch", "fastest"))
     arch = getattr(args, "arch", "fastest")
-    variables = _load_weights(args.weights)
+    variables = _load_weights(args.weights, getattr(args, "arch", None))
     folded = fold_batchnorm(variables)
     os.makedirs(args.out, exist_ok=True)
 
@@ -784,7 +806,7 @@ def cmd_info(args) -> int:
     _check_arch_config(cfg, args.arch)
     arch = "yolofastest-lite" if args.arch == "lite" else "yolofastest"
     if args.weights:
-        variables = _load_weights(args.weights)
+        variables = _load_weights(args.weights, getattr(args, "arch", None))
     else:
         # shapes/params only need channel counts: init a fresh model
         if args.arch == "lite":

@@ -409,10 +409,9 @@ def _r_tensor(buf: bytes) -> Tuple[str, np.ndarray]:
         elif f == 9:
             raw = v
         elif f == 4:
-            if wire == 5:
-                floats.append(np.frombuffer(v, "<f4"))
-            else:  # packed
-                floats.append(np.frombuffer(v, "<f4"))
+            # float_data: one fixed32 (wire 5) and packed (wire 2) both
+            # arrive as little-endian f32 byte strings here
+            floats.append(np.frombuffer(v, "<f4"))
     if dtype == _INT64:  # shape/axes operands of a detect-pipeline tail
         return name, np.frombuffer(raw, "<i8").reshape(dims)
     if dtype != 1:  # onnx TensorProto.FLOAT
@@ -453,8 +452,8 @@ def _parse_onnx(path: str):
                 name, arr = _r_tensor(v)
                 init[name] = arr
         return nodes, init
-    except (IndexError, StopIteration, TypeError, UnicodeDecodeError,
-            ValueError) as e:
+    except (AttributeError, IndexError, StopIteration, TypeError,
+            UnicodeDecodeError, ValueError) as e:
         raise ValueError(f"{path}: malformed ONNX ({e})") from e
 
 
@@ -677,9 +676,12 @@ def export_onnx_detect(folded: Dict[str, Dict[str, Any]], config,
 
     Documented divergences from the on-device pipeline: standard IOU (the
     ONNX op has no +1px convention), the detection cap applies per class
-    rather than globally, and boxes stay float (no integer rounding) — so
-    parity with the golden detections is asserted at detection level
-    (``tests/test_export_onnx_detect.py``), not bitwise.
+    rather than globally, boxes stay float (no integer rounding), and a
+    bitwise TIE in class sigmoid scores (e.g. two classes saturated at
+    fp32 1.0) keeps the candidate under BOTH classes where the device
+    argmax picks one — so parity with the golden detections is asserted
+    at detection level (``tests/test_export_onnx_detect.py``), not
+    bitwise.
     """
     io = config.io
     ex = _OnnxExecutor(folded)
