@@ -1,13 +1,14 @@
-"""Trained YoloFastest-lite zoo checkpoint: golden-recall lock.
+"""Trained YoloFastest-lite zoo checkpoints: golden-recall locks.
 
 The reference defines YoloFastest_lite but never ships trained weights for
-it; ours (``weights/yolofastest_lite_256x320.npz``) was fine-tuned on the
-bundled test set with the reference detector's golden detections as
-pseudo-GT, after grafting the converted full-model backbone+head_5 (the
-lite parameter tree is a strict subset of the full one) — see
-docs/train_demo_lite/.  This test locks the committed artifact: the lite
-pipeline must recover >=90% of the golden detections at IOU>0.5 with the
-same class.
+it; ours (``weights/yolofastest_lite_{256x320,512x640}.npz`` — the zoo
+covers the full {fastest, lite} x {256x320, 512x640} matrix) were
+fine-tuned on the bundled test set with the reference detector's golden
+detections as pseudo-GT, after grafting the converted full-model
+backbone+head_5 (the lite parameter tree is a strict subset of the full
+one) — see docs/train_demo_lite/ and docs/train_demo_lite512/.  These
+tests lock the committed artifacts: the lite pipeline must recover >=90%
+of the golden detections at IOU>0.5 with the same class.
 """
 
 import os
@@ -30,13 +31,14 @@ def _iou(a, b):
     return inter / max(ua, 1e-9)
 
 
-def test_lite_zoo_recovers_golden_detections():
-    lite_weights = zoo_path("lite_256x320")
+@pytest.mark.parametrize("res", ["256x320", "512x640"])
+def test_lite_zoo_recovers_golden_detections(res):
+    lite_weights = zoo_path(f"lite_{res}")
     if not os.path.exists(lite_weights):
         pytest.skip("lite zoo weights not present")
-    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    fx = np.load(os.path.join(FIXTURES, f"golden_{res}.npz"))
 
-    cfg = get_config("lite-256x320")
+    cfg = get_config(f"lite-{res}")
     det_obj = Detector(cfg, variables=load_variables(lite_weights), arch="lite")
     import jax
 
