@@ -221,3 +221,38 @@ def test_single_threshold_mode_has_no_coco_extras():
     ev(None)
     assert "AP_small" not in ev.last_metrics
     assert "AR_maxdets" not in ev.last_metrics
+
+
+def test_eval_max_det_override(tmp_path):
+    """`eval --max-det 100` raises the AR budget to COCO's standard cap
+    (config preset is 64) without disturbing the other metrics."""
+    import json
+    import os
+
+    import cv2
+
+    from yolofastest_tpu.cli import main
+    from yolofastest_tpu.data import write_voc_xml
+    from yolofastest_tpu.models import zoo_path
+
+    if not os.path.exists(zoo_path("256x320")):
+        import pytest
+
+        pytest.skip("zoo weights not present")
+    cfg = get_config("256x320")
+    root = tmp_path / "val"
+    (root / "img").mkdir(parents=True)
+    (root / "xml").mkdir()
+    h0, w0, _ = cfg.io.origin_img_shape
+    img = np.full((h0, w0, 3), 30, np.uint8)
+    img[50:120, 80:220] = 170
+    cv2.imwrite(str(root / "img" / "a.jpg"), img)
+    write_voc_xml(str(root / "xml" / "a.xml"), "a.jpg", (h0, w0),
+                  [(cfg.io.class_names[0], 80, 50, 220, 120)])
+    j = str(tmp_path / "m.json")
+    rc = main(["eval", "--config", "256x320", "--weights", zoo_path("256x320"),
+               "--val-dir", str(root), "--coco-map", "--max-det", "100",
+               "--json-out", j, "--log-dir", str(tmp_path / "logs")])
+    assert rc == 0
+    m = json.load(open(j))
+    assert set(m["AR_maxdets"]) == {"1", "10", "100"}

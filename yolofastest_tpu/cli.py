@@ -534,6 +534,15 @@ def cmd_eval(args) -> int:
 
     cfg = _get_config(args)
     _check_arch_config(cfg, getattr(args, "arch", "fastest"))
+    if getattr(args, "max_det", None):
+        # e.g. --max-det 100 for COCO's standard AR budget (the preset cap
+        # is 64); keep the decode pool at least 2x the kept set
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, io=dataclasses.replace(
+                cfg.io, max_det=args.max_det,
+                max_decode=max(cfg.io.max_decode, 2 * args.max_det)))
     logger = config_logger(args.log_dir, "eval_info.log")
     idx = _make_index(args.val_dir, cfg.io.class_names, logger,
                       fmt=args.format)
@@ -1032,6 +1041,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(reference validate.py parity); any other choice "
                         "scores the DEPLOYED pipeline (BN-folded, detect-"
                         "path NMS) through that backend")
+    e.add_argument("--max-det", type=int, default=None,
+                   help="override the per-image detection budget (config "
+                        "default 64) — e.g. 100 for the standard COCO AR "
+                        "cap; the decode pool grows to at least 2x this")
     e.add_argument("--coco-map", action="store_true",
                    help="additionally report COCO-style mAP@[.50:.95] "
                         "(10 IOU thresholds; headline mAP stays @0.5)")
