@@ -56,3 +56,49 @@ def test_lite_zoo_recovers_golden_detections(res):
                 break
     recall = matched / len(golden)
     assert recall >= 0.9, f"lite recovered only {recall:.2%} of golden boxes"
+
+
+@pytest.mark.slow
+def test_lite512_zoo_through_native_engine(tmp_path):
+    """The lite-512x640 checkpoint rides the full deployment chain: folded
+    export -> .yfb -> C++ engine -> deployment mAP 1.0 / full detection
+    rate on the pseudo-GT set it was fine-tuned on."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.exists(os.path.join(repo, "cpp", "build", "libyf.so")):
+        pytest.skip("native library not built")
+    lite_weights = zoo_path("lite_512x640")
+    if not os.path.exists(lite_weights):
+        pytest.skip("lite-512 zoo weights not present")
+
+    # rebuild the pseudo-GT val set (20 originals + golden boxes as GT)
+    ft = tmp_path / "ft"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "make_finetune_set.py"),
+         "--res", "512x640", "--out", str(ft), "--copies", "1"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+
+    from yolofastest_tpu.cli import main
+    from yolofastest_tpu.data import DetectionLoader, VOCIndex
+    from yolofastest_tpu.eval import MAPEvaluator, make_backend_eval_fn
+    from yolofastest_tpu.export import save_native_weights
+    from yolofastest_tpu.models import fold_batchnorm
+    from yolofastest_tpu.native import NativeEngine
+
+    cfg = get_config("lite-512x640")
+    folded = fold_batchnorm(load_variables(lite_weights))
+    yfb = str(tmp_path / "m.yfb")
+    save_native_weights(folded, yfb)
+    engine = NativeEngine(yfb, cfg)
+    idx = VOCIndex(str(ft / "val"), cfg.io.class_names)
+    loader = DetectionLoader(idx, cfg, augment=False, shuffle=False,
+                             drop_last=False)
+    ev = MAPEvaluator(cfg, loader,
+                      eval_fn=make_backend_eval_fn(engine,
+                                                   max_det=cfg.io.max_det))
+    mAP = ev(None)
+    assert mAP >= 0.95, mAP
+    assert ev.last_metrics["detection_rate"] >= 0.95
