@@ -81,7 +81,6 @@ def test_lite512_zoo_through_native_engine(tmp_path):
         capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr
 
-    from yolofastest_tpu.cli import main
     from yolofastest_tpu.data import DetectionLoader, VOCIndex
     from yolofastest_tpu.eval import MAPEvaluator, make_backend_eval_fn
     from yolofastest_tpu.export import save_native_weights

@@ -13,6 +13,7 @@ single runs (vectorisation correctness), and the COCO grid surface.
 """
 
 import numpy as np
+import pytest
 
 from yolofastest_tpu.configs import get_config
 from yolofastest_tpu.eval import COCO_IOU_GRID, MAPEvaluator
@@ -223,9 +224,13 @@ def test_single_threshold_mode_has_no_coco_extras():
     assert "AR_maxdets" not in ev.last_metrics
 
 
+@pytest.mark.slow
 def test_eval_max_det_override(tmp_path):
     """`eval --max-det 100` raises the AR budget to COCO's standard cap
-    (config preset is 64) without disturbing the other metrics."""
+    (config preset is 64).  The baseline run (no flag) must report the
+    config's {1, 10, 64} budgets — which also proves the scene produced
+    detections (zero detections would fall back to the hardcoded
+    {1, 10, 100} set and make the override assertion vacuous)."""
     import json
     import os
 
@@ -236,8 +241,6 @@ def test_eval_max_det_override(tmp_path):
     from yolofastest_tpu.models import zoo_path
 
     if not os.path.exists(zoo_path("256x320")):
-        import pytest
-
         pytest.skip("zoo weights not present")
     cfg = get_config("256x320")
     root = tmp_path / "val"
@@ -250,6 +253,12 @@ def test_eval_max_det_override(tmp_path):
     write_voc_xml(str(root / "xml" / "a.xml"), "a.jpg", (h0, w0),
                   [(cfg.io.class_names[0], 80, 50, 220, 120)])
     j = str(tmp_path / "m.json")
+    rc = main(["eval", "--config", "256x320", "--weights", zoo_path("256x320"),
+               "--val-dir", str(root), "--coco-map",
+               "--json-out", j, "--log-dir", str(tmp_path / "logs")])
+    assert rc == 0
+    base = json.load(open(j))
+    assert set(base["AR_maxdets"]) == {"1", "10", "64"}  # non-vacuous
     rc = main(["eval", "--config", "256x320", "--weights", zoo_path("256x320"),
                "--val-dir", str(root), "--coco-map", "--max-det", "100",
                "--json-out", j, "--log-dir", str(tmp_path / "logs")])

@@ -534,11 +534,13 @@ def cmd_eval(args) -> int:
 
     cfg = _get_config(args)
     _check_arch_config(cfg, getattr(args, "arch", "fastest"))
-    if getattr(args, "max_det", None):
+    if getattr(args, "max_det", None) is not None:
         # e.g. --max-det 100 for COCO's standard AR budget (the preset cap
         # is 64); keep the decode pool at least 2x the kept set
         import dataclasses
 
+        if args.max_det < 1:
+            raise SystemExit(f"--max-det must be >= 1, got {args.max_det}")
         cfg = dataclasses.replace(
             cfg, io=dataclasses.replace(
                 cfg.io, max_det=args.max_det,
