@@ -116,6 +116,38 @@ def test_cli_export_writes_all_artifacts(tmp_path, monkeypatch):
     assert tuple(small.shape) == (2, cfg.io.num_out, h // 32, w // 32)
 
 
+def test_load_weights_rejects_arch_mismatch(tmp_path, monkeypatch):
+    """A single-head (lite) tree served under the default --arch fastest must
+    die with the clean `pass --arch lite` diagnostic — on EVERY loader path,
+    including orbax checkpoint dirs (which bypass the .npz branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yolofastest_tpu.cli import _load_weights
+    from yolofastest_tpu.models import YoloFastestLite, save_variables
+
+    lite_vars = jax.device_get(YoloFastestLite(num_cls=3, num_anchors=3).init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 1), jnp.float32),
+        train=False))
+    wpath = str(tmp_path / "lite.npz")
+    save_variables(lite_vars, wpath)
+    with pytest.raises(SystemExit, match="pass --arch lite"):
+        _load_weights(wpath, arch="fastest")
+    # the matching arch passes
+    assert _load_weights(wpath, arch="lite")["params"]
+
+    # checkpoint-dir path: same guard (stub the orbax restore — the dir
+    # branch is what's under test, not orbax itself)
+    import yolofastest_tpu.train as train_mod
+
+    ckdir = tmp_path / "epoch_1"
+    ckdir.mkdir()
+    monkeypatch.setattr(train_mod, "checkpoint_variables",
+                        lambda path, prefer_ema=True: lite_vars)
+    with pytest.raises(SystemExit, match="pass --arch lite"):
+        _load_weights(str(ckdir), arch="fastest")
+
+
 def test_cli_rejects_arch_config_mismatch(tmp_path):
     """--arch lite with a two-head preset must fail fast (decode would
     otherwise silently pair the single head with the wrong anchor group)."""

@@ -182,3 +182,39 @@ def test_import_corrupt_param_fails_clean(tmp_path, blob):
         f.write(b"")
     with pytest.raises(ValueError, match="junk.param"):
         import_ncnn(pp)
+
+
+def test_import_truncation_fuzz_never_raw_exception(tmp_path):
+    """Parser contract under systematic truncation: cutting a REAL export at
+    any byte offset either imports cleanly or raises ValueError — never an
+    IndexError / struct.error / UnicodeDecodeError out of the token walker
+    or the .bin reader.  Covers both the .param text and the .bin payload
+    (the single-offset tests above only probe one cut point each)."""
+    folded = _random_folded("yolofastest", 3)
+    base = str(tmp_path / "m")
+    export_ncnn(folded, (64, 96), base + ".param", base + ".bin")
+    param = open(base + ".param", "rb").read()
+    binary = open(base + ".bin", "rb").read()
+
+    def try_import(pp):
+        try:
+            import_ncnn(pp)
+        except ValueError:
+            pass  # the documented failure mode
+
+    for frac in range(1, 16):
+        cut = len(param) * frac // 16
+        p = str(tmp_path / f"p{frac}.param")
+        with open(p, "wb") as f:
+            f.write(param[:cut])
+        with open(p[:-6] + ".bin", "wb") as f:
+            f.write(binary)
+        try_import(p)
+    for frac in range(0, 16):
+        cut = len(binary) * frac // 16
+        p = str(tmp_path / f"b{frac}.param")
+        with open(p, "wb") as f:
+            f.write(param)
+        with open(p[:-6] + ".bin", "wb") as f:
+            f.write(binary[:cut])
+        try_import(p)

@@ -204,3 +204,23 @@ def test_weights_arch_mismatch_fails_clean(tmp_path):
     export_onnx(folded, (256, 320), p, arch="yolofastest-lite")
     with pytest.raises(SystemExit, match="single-head"):
         main(["info", "--config", "256x320", "--weights", p])
+
+
+def test_import_truncation_fuzz_never_raw_exception(tmp_path):
+    """Parser contract under systematic truncation: a real .onnx cut at any
+    of 32 byte offsets either imports cleanly or raises ValueError — never a
+    raw IndexError / OverflowError out of the wire-format walker (the
+    single-offset test above probes only len/2)."""
+    folded = fold_batchnorm(load_variables(zoo_path("256x320")))
+    full = str(tmp_path / "full.onnx")
+    export_onnx(folded, (64, 96), full)
+    data = open(full, "rb").read()
+    for frac in range(1, 32):
+        cut = len(data) * frac // 32
+        p = str(tmp_path / f"t{frac}.onnx")
+        with open(p, "wb") as f:
+            f.write(data[:cut])
+        try:
+            import_onnx(p)
+        except ValueError:
+            pass  # the documented failure mode

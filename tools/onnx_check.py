@@ -273,8 +273,12 @@ def run(nodes, init, feeds):
             y = a[0].astype({1: np.float32, 7: np.int64,
                              9: np.bool_}[attrs["to"]])
         elif op == "NonMaxSuppression":
-            y = _nms(a[0], a[1], int(a[2]), float(a[3]),
-                     float(a[4]) if len(a) > 4 else 0.0,
+            # the threshold inputs are rank-1 single-element tensors in our
+            # exports — ravel()[0] extracts without the ndim>0 scalar-cast
+            # deprecation (hard error in future numpy)
+            y = _nms(a[0], a[1], int(np.ravel(a[2])[0]),
+                     float(np.ravel(a[3])[0]),
+                     float(np.ravel(a[4])[0]) if len(a) > 4 else 0.0,
                      center=bool(attrs.get("center_point_box", 0)))
         else:
             raise NotImplementedError(f"op {op}")

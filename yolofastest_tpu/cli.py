@@ -71,10 +71,10 @@ def _load_weights(path: str, arch: str = None):
         # EMA model when the run kept one (what validation scored)
         from yolofastest_tpu.train import checkpoint_variables
 
-        return checkpoint_variables(path)
-    if path.endswith(".pth"):
-        return load_torch_checkpoint(path)
-    if path.endswith(".onnx"):
+        variables = checkpoint_variables(path)
+    elif path.endswith(".pth"):
+        variables = load_torch_checkpoint(path)
+    elif path.endswith(".onnx"):
         from yolofastest_tpu.export import import_onnx
 
         variables = import_onnx(path)[0]

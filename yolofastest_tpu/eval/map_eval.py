@@ -304,14 +304,19 @@ class MAPEvaluator:
                         np.add.at(range_gt[r], gt_cls[in_r], 1)
 
                 n_det = int(det["count"][b])
+                if coco and ar_tp is None:
+                    # Resolve the AR budgets from the detection pad width
+                    # (max_det) of the FIRST batch — padded arrays carry the
+                    # width even when this image has zero detections, so the
+                    # reported budget keys never depend on whether anything
+                    # was detected.
+                    ar_ks = tuple(sorted({1, 10, det["boxes"].shape[1]}))
+                    ar_tp = np.zeros((num_cls, n_t, len(ar_ks)), np.int64)
                 if n_det == 0:
                     continue
                 conf_det = det["conf"][b, :n_det].astype(np.float64)
                 cls_det = det["cls_idx"][b, :n_det].astype(np.int32)
                 if coco:
-                    if ar_tp is None:
-                        ar_ks = tuple(sorted({1, 10, det["boxes"].shape[1]}))
-                        ar_tp = np.zeros((num_cls, n_t, len(ar_ks)), np.int64)
                     det_boxes = det["boxes"][b, :n_det].astype(np.float64)
                     det_area = ((det_boxes[:, 2] - det_boxes[:, 0])
                                 * (det_boxes[:, 3] - det_boxes[:, 1]))
@@ -423,8 +428,8 @@ class MAPEvaluator:
                     float(np.nanmean(aps)) if has else -1.0)
                 self.last_metrics[f"AR_{r}"] = (
                     float(np.nanmean(recs)) if has else -1.0)
-            if ar_tp is None:   # no detections anywhere
-                ar_ks = (1, 10, 100)
+            if ar_tp is None:   # empty loader: no batches were seen at all
+                ar_ks = tuple(sorted({1, 10, self.config.io.max_det}))
                 ar_tp = np.zeros((num_cls, n_t, len(ar_ks)), np.int64)
             have_gt = target_num > 0
             ar_by_k = {}

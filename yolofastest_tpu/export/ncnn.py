@@ -58,13 +58,8 @@ class _NcnnEmit(Executor):
         self.p = folded
         self.layers: List[_Layer] = []
         self.chunks: List[np.ndarray] = []  # per weighted layer: tag,k,b
-        self._n = 0
 
     # -- helpers ----------------------------------------------------------
-    def _blob(self, stem: str) -> str:
-        self._n += 1
-        return stem
-
     def _weights(self, kernel_oihw: np.ndarray, bias: np.ndarray) -> None:
         self.chunks.append(np.asarray([0], np.uint32).view(np.float32))
         self.chunks.append(np.ascontiguousarray(kernel_oihw, np.float32).ravel())
@@ -90,7 +85,7 @@ class _NcnnEmit(Executor):
             params[7] = str(nout)
         if act:
             params[9] = "1"
-        out = self._blob(name)
+        out = name
         self.layers.append(_Layer(typ, name, [x], [out], params))
         self._weights(k.transpose(3, 2, 0, 1), p["bias"])
         return out
@@ -101,7 +96,7 @@ class _NcnnEmit(Executor):
         nout = k.shape[3]
         params = {0: str(nout), 1: "2", 3: "2", 5: "1",
                   6: str(int(k.size)), 9: "1"}
-        out = self._blob(name)
+        out = name
         self.layers.append(_Layer("Deconvolution", name, [x], [out], params))
         self._weights(k.transpose(3, 2, 0, 1), p["bias"])
         return out
@@ -109,19 +104,19 @@ class _NcnnEmit(Executor):
     def head(self, x, name):
         p = self.p[name]
         k = np.asarray(p["kernel"], np.float32)
-        out = self._blob(_HEAD_BLOBS[name])
+        out = _HEAD_BLOBS[name]
         params = {0: str(k.shape[3]), 1: "1", 5: "1", 6: str(int(k.size))}
         self.layers.append(_Layer("Convolution", name, [x], [out], params))
         self._weights(k.transpose(3, 2, 0, 1), p["bias"])
         return out
 
     def add(self, x, y):
-        out = self._blob(f"add_{len(self.layers)}")
+        out = f"add_{len(self.layers)}"
         self.layers.append(_Layer("BinaryOp", out, [x, y], [out], {}))
         return out
 
     def concat(self, x, y):
-        out = self._blob(f"cat_{len(self.layers)}")
+        out = f"cat_{len(self.layers)}"
         self.layers.append(_Layer("Concat", out, [x, y], [out], {}))
         return out
 
