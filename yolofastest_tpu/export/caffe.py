@@ -43,7 +43,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-from yolofastest_tpu.export.onnx import _i, _ld, _packed_ints, _s
+from yolofastest_tpu.export.onnx import _ld, _packed_ints, _s
 from yolofastest_tpu.models.graph import Executor, walk_topology, walk_topology_lite
 
 _HEAD_BLOBS = {"head_4": "head_large", "head_5": "head_small"}

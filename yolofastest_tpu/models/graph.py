@@ -18,7 +18,7 @@ conv with ``kernel' = kernel * g`` and ``bias' = bias - mean * g`` where
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

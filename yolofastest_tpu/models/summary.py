@@ -13,7 +13,7 @@ subcommand can additionally attach XLA's compiled cost analysis
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

@@ -12,7 +12,6 @@ tests and benchmarks never need torch or the reference mount.
 
 from __future__ import annotations
 
-import io
 import os
 from typing import Any, Dict
 

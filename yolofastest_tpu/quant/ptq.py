@@ -21,7 +21,7 @@ so the quantised graph can never drift from the deployed one.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

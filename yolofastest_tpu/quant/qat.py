@@ -36,7 +36,7 @@ Two supervision modes in one loop (:func:`qat_finetune`):
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
