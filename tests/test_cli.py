@@ -78,7 +78,6 @@ def test_cli_export_writes_all_artifacts(tmp_path, monkeypatch):
     """`export` emits every interchange artifact: native .yfb (fp32 + int8),
     StableHLO (forward + detect pipeline), ONNX, and the TorchScript .pt —
     the reference's converter-zoo capability behind one command."""
-    import dataclasses
 
     import jax
     import jax.numpy as jnp

@@ -106,7 +106,6 @@ def test_cli_voc2coco(tmp_path, monkeypatch, capsys):
 def test_cli_eval_coco_format(tmp_path, monkeypatch):
     """`eval` on a COCO-layout directory (auto-detected) scores identically
     to the same data in VOC layout."""
-    import dataclasses
 
     import jax
     import jax.numpy as jnp

@@ -1,6 +1,5 @@
 """Config serialisation and preset invariants."""
 
-import numpy as np
 
 from yolofastest_tpu.configs import Config, get_config
 

@@ -10,7 +10,6 @@ with hundreds of above-threshold candidates and pin that truncation order
 """
 
 import numpy as np
-import pytest
 
 import jax.numpy as jnp
 

@@ -6,7 +6,6 @@ graph.  Catches any shape assumption hard-wired to the shipped checkpoints.
 import os
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

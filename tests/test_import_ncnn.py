@@ -11,8 +11,6 @@ normal `--weights` path serves it on any backend.
 """
 
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest
@@ -25,11 +23,9 @@ from yolofastest_tpu.models import (
     YoloFastest,
     fold_batchnorm,
     folded_apply,
-    folded_apply_lite,
     load_variables,
     save_variables,
     unfold_to_variables,
-    zoo_path,
 )
 
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")

@@ -10,7 +10,6 @@ leak aborts the binary with a nonzero exit.
 
 import os
 import subprocess
-import sys
 
 import pytest
 
