@@ -12,6 +12,10 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# In-process CLI calls would otherwise enable the persistent compilation
+# cache at its ~/.cache default mid-suite (order-dependent global state);
+# the cache has its own tests (test_compile_cache.py) which override this.
+os.environ.setdefault("YF_COMPILE_CACHE", "off")
 
 import jax
 

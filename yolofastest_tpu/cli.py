@@ -493,10 +493,18 @@ def cmd_train(args) -> int:
 
     import jax.numpy as jnp
 
-    trainer = Trainer(cfg, batch_per_epoch=len(loader), variables=variables,
-                      logger=logger, arch=args.arch, distill_fn=distill_fn,
-                      distill_weight=args.distill_weight,
-                      compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    try:
+        trainer = Trainer(cfg, batch_per_epoch=len(loader),
+                          variables=variables, logger=logger, arch=args.arch,
+                          distill_fn=distill_fn,
+                          distill_weight=args.distill_weight,
+                          freeze=args.freeze,
+                          compute_dtype=(jnp.bfloat16 if args.bf16
+                                         else jnp.float32))
+    except ValueError as e:
+        if args.freeze and "--freeze" in str(e):
+            raise SystemExit(str(e))
+        raise
     start_epoch = 0
     if args.resume:
         path = args.resume
@@ -847,6 +855,12 @@ def cmd_info(args) -> int:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="yolofastest_tpu")
+    p.add_argument("--compile-cache", default=None, metavar="DIR|off",
+                   help="persistent XLA compilation-cache directory shared "
+                        "across processes (default: $YF_COMPILE_CACHE, then "
+                        "~/.cache/yolofastest_tpu/xla; 'off' disables) — "
+                        "turns a repeat invocation's 20-60 s jit compiles "
+                        "into deserializes")
     sub = p.add_subparsers(dest="command", required=True)
 
     d = sub.add_parser("detect", help="batch-detect a directory of images")
@@ -996,6 +1010,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "k*32, k <= STEPS (beyond-reference; each bucket is "
                         "one extra cached compile of the train step). Bare "
                         "--multiscale means 2 steps each side")
+    t.add_argument("--freeze", default=None, metavar="SPEC",
+                   help="pin modules during training: 'backbone' (everything "
+                        "but the heads — the fine-tune workflow) or comma-"
+                        "separated module-name prefixes from `info` (e.g. "
+                        "'conv0' or 'res1,res2'). Frozen leaves stay bitwise "
+                        "unchanged (XLA drops their backward pass; BN stats "
+                        "pinned too); checkpoints stay resume-compatible "
+                        "across --freeze settings")
     t.add_argument("--ema", type=float, nargs="?", const=0.9995, default=None,
                    metavar="DECAY",
                    help="keep an exponential moving average of the model "
@@ -1163,8 +1185,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# Pure host-side converters never touch jax; keep them import-light.
+_NO_JAX_COMMANDS = {"txt2xml", "voc2coco"}
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.command not in _NO_JAX_COMMANDS:
+        from yolofastest_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
     return args.fn(args)
 
 

@@ -54,6 +54,47 @@ class TrainState(struct.PyTreeNode):
     ema: Any = None
 
 
+def freeze_masks(params: Any, batch_stats: Any, spec: str):
+    """Resolve a freeze spec into STATIC boolean mask pytrees.
+
+    ``spec`` is either the alias ``"backbone"`` (every top-level module not
+    named ``head*`` — the fine-tune-the-heads workflow the zoo recipes use)
+    or comma-separated module-name prefixes (``"conv0"``, ``"res1,res2"``,
+    ...; see ``info`` for the module names).  Every prefix must match at
+    least one module (typo guard) and at least one module must stay
+    trainable.
+
+    Returns ``(param_mask, bs_mask, frozen_names)`` — mask leaves are plain
+    Python bools (``True`` = frozen), so they are baked into the jit trace:
+    XLA dead-code-eliminates the whole frozen backward pass instead of
+    computing gradients and multiplying by zero.
+    """
+    names = sorted(params.keys())
+    spec = spec.strip()
+    if spec == "backbone":
+        frozen = {n for n in names if not n.startswith("head")}
+    else:
+        prefixes = [p.strip() for p in spec.split(",") if p.strip()]
+        if not prefixes:
+            raise ValueError("empty --freeze spec")
+        for p in prefixes:
+            if not any(n.startswith(p) for n in names):
+                raise ValueError(
+                    f"--freeze prefix {p!r} matches no module; modules: "
+                    f"{', '.join(names)}")
+        frozen = {n for n in names
+                  if any(n.startswith(p) for p in prefixes)}
+    if frozen == set(names):
+        raise ValueError("--freeze spec freezes every module; nothing left "
+                         "to train")
+
+    def mask_like(tree):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: path[0].key in frozen, tree)
+
+    return mask_like(params), mask_like(batch_stats), sorted(frozen)
+
+
 def make_train_step(
     model: YoloFastest,
     tx: optax.GradientTransformation,
@@ -61,6 +102,7 @@ def make_train_step(
     lr_schedule: Callable,
     distill_fn: Optional[Callable] = None,
     distill_weight: float = 1.0,
+    freeze: Optional[tuple] = None,
 ) -> Callable:
     """Build the pure train-step function (state, imgs, targets) ->
     (state, metrics).  Jit it with shardings via :class:`Trainer` or
@@ -69,7 +111,16 @@ def make_train_step(
     ``distill_fn`` (see :func:`yolofastest_tpu.train.distill.make_teacher_fn`)
     adds ``distill_weight * MSE(student_heads, teacher_heads)`` to the loss —
     the frozen teacher's forward is traced into the SAME XLA program, so it
-    shards and fuses with the student step."""
+    shards and fuses with the student step.
+
+    ``freeze`` is ``(param_mask, bs_mask)`` from :func:`freeze_masks`:
+    frozen params' gradients are statically zeroed (never computed — the
+    masks are Python bools, so XLA drops the frozen backward pass) and
+    frozen modules' BN running stats keep their old values, so frozen
+    leaves stay BITWISE unchanged.  Adam's moments for frozen leaves start
+    and stay zero, which keeps the opt-state layout identical to an
+    unfrozen run — checkpoints remain resume-compatible across --freeze
+    settings."""
     io = config.io
     tr = config.train
 
@@ -110,6 +161,16 @@ def make_train_step(
         (loss, (comps, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if freeze is not None:
+            param_mask, bs_mask = freeze
+            # Static masks: the frozen backward pass is dead code to XLA.
+            # Zeroed BEFORE the finite gate — frozen grads are never
+            # computed, so they can't (and shouldn't) trip it.
+            grads = jax.tree.map(
+                lambda g, m: jnp.zeros_like(g) if m else g, grads, param_mask)
+            new_stats = jax.tree.map(
+                lambda n, o, m: o if m else n,
+                new_stats, state.batch_stats, bs_mask)
         # apply_if_finite protects params/opt state, but the BN running
         # stats mutate in the forward pass — reject them too on a
         # non-finite step, or one poisoned batch NaNs every later eval.
@@ -188,6 +249,7 @@ class Trainer:
         arch: str = "fastest",
         distill_fn: Optional[Callable] = None,
         distill_weight: float = 1.0,
+        freeze: Optional[str] = None,
     ):
         self.config = config
         self.logger = logger
@@ -262,10 +324,22 @@ class Trainer:
             lambda x: host_to_global(replicated, np.asarray(x)), state
         )
 
+        self.frozen_modules: list = []
+        freeze_tup = None
+        if freeze:
+            pm, bm, self.frozen_modules = freeze_masks(
+                variables["params"], variables["batch_stats"], freeze)
+            freeze_tup = (pm, bm)
+            if logger:
+                logger.info("freeze: %d modules pinned (%s)"
+                            % (len(self.frozen_modules),
+                               ", ".join(self.frozen_modules)))
+
         self._traced_hw: set = set()
         step_fn = make_train_step(self.model, self.tx, config, self.lr_schedule,
                                   distill_fn=distill_fn,
-                                  distill_weight=distill_weight)
+                                  distill_weight=distill_weight,
+                                  freeze=freeze_tup)
         self._train_step = jax.jit(
             step_fn,
             in_shardings=(replicated, self.img_sharding, self.tgt_sharding),
