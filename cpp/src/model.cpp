@@ -125,11 +125,12 @@ Tensor YoloFastestNet::conv(const Tensor& x, const std::string& name, int stride
       if (it != int8_.end()) return conv1x1_int8(x, it->second, relu);
     }
     auto it3 = int8_3x3_.find(name);
-    // Measured crossover: the im2row VNNI path wins at <= ~8k output
-    // pixels (the 256x320 net's conv1_9) but loses to the fp32 register
-    // tile at 4x the pixels (512x640) where the quantised input spills L2.
-    if (it3 != int8_3x3_.end() &&
-        (x.h / stride) * (x.w / stride) <= 8192)
+    // The im2row VNNI path now wins at every resolution: the original
+    // <=8k-output-pixel gate predated the small-run copy_bytes gather and
+    // chunked quantisation; remeasured interleaved at 512x640 (min-of-8,
+    // one core) the int8 path halves conv1_9's per-layer cost (82 -> 43 ms
+    // cumulative over the 20-image set) and wins end-to-end.
+    if (it3 != int8_3x3_.end())
       return conv3x3_int8(x, it3->second, stride, relu);
   }
   return conv2d(x, get(w_, name + "/kernel"), get(w_, name + "/bias"),
