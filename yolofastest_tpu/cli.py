@@ -755,6 +755,44 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_prune(args) -> int:
+    """Structured channel pruning (models/prune.py): drop the lowest-
+    importance fraction of every res block's expansion channels and write a
+    plain (smaller) weights tree.  The pruned checkpoint runs on every
+    backend unchanged (shapes drive all of them) and fine-tunes via
+    ``train --pretrained <out>`` (pass it again with ``--resume`` — the
+    restore needs matching widths)."""
+    from yolofastest_tpu.models import fold_batchnorm, save_variables
+    from yolofastest_tpu.models.prune import prune_variables
+    from yolofastest_tpu.models.summary import summarize
+
+    cfg = _get_config(args)
+    _check_arch_config(cfg, args.arch)
+    variables = _load_weights(args.weights, args.arch)
+    pruned, report = prune_variables(variables, args.ratio,
+                                     min_keep=args.min_keep,
+                                     round_to=args.round_to)
+
+    walk_arch = "yolofastest" if args.arch == "fastest" else "yolofastest-lite"
+    before = summarize(fold_batchnorm(variables), cfg.io.input_hw, walk_arch)
+    after = summarize(fold_batchnorm(pruned), cfg.io.input_hw, walk_arch)
+
+    print(f"{'block':<10} {'before':>7} {'after':>6}")
+    for name, (old, new) in report.items():
+        mark = "" if new == old else f"  (-{old - new})"
+        print(f"{name:<10} {old:>7} {new:>6}{mark}")
+    dp = 1.0 - after["total_params"] / before["total_params"]
+    dm = 1.0 - after["total_macs"] / before["total_macs"]
+    print(f"params {before['total_params']:,} -> {after['total_params']:,} "
+          f"(-{dp:.1%})")
+    print(f"MACs   {before['total_macs']:,} -> {after['total_macs']:,} "
+          f"(-{dm:.1%})")
+
+    save_variables(pruned, args.out)
+    print(f"wrote {args.out}")
+    return 0
+
+
 def cmd_voc2coco(args) -> int:
     from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.data import voc_to_coco
@@ -1147,6 +1185,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "BN-folded exports; arch is auto-detected")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_convert)
+
+    pr = sub.add_parser(
+        "prune",
+        help="structured channel pruning: drop the lowest-importance "
+             "fraction of every res block's expansion channels; the "
+             "pruned .npz runs/fine-tunes on every backend unchanged")
+    pr.add_argument("--weights", required=True,
+                    help=".npz / .pth / .onnx / epoch_N checkpoint dir")
+    pr.add_argument("--ratio", type=float, required=True,
+                    help="fraction of inner channels to remove per block, "
+                         "in [0, 1)")
+    pr.add_argument("--min-keep", type=int, default=4,
+                    help="floor on kept channels per block (default 4)")
+    pr.add_argument("--round-to", type=int, default=4,
+                    help="kept widths round UP to this multiple (default 4)")
+    pr.add_argument("--arch", choices=["fastest", "lite"], default="fastest")
+    pr.add_argument("--config", default="256x320")
+    pr.add_argument("--config-json")
+    pr.add_argument("--out", required=True, help="output .npz path")
+    pr.set_defaults(fn=cmd_prune)
 
     vc = sub.add_parser("voc2coco",
                         help="VOC-layout dataset -> COCO layout "

@@ -231,17 +231,25 @@ class MAPEvaluator:
             self.model = model
             self.eval_fn = eval_fn
             return
-        if model is None:
-            if arch == "lite":
-                from yolofastest_tpu.models import YoloFastestLite as _Cls
-            else:
-                _Cls = YoloFastest
-            model = _Cls(num_cls=config.io.num_cls,
-                         num_anchors=config.io.num_anchors)
+        # model=None: defer construction to the first __call__, so the model
+        # is built against the variables actually being scored (a pruned
+        # checkpoint carries narrower res blocks — models/prune.py).
+        self._arch = arch
         self.model = model
-        self.eval_fn = make_eval_fn(self.model, config)
+        self.eval_fn = make_eval_fn(model, config) if model is not None else None
+
+    def _ensure_eval_fn(self, variables) -> None:
+        if self.eval_fn is None:
+            from yolofastest_tpu.models import build_model
+
+            io = self.config.io
+            self.model = build_model(num_cls=io.num_cls,
+                                     num_anchors=io.num_anchors,
+                                     arch=self._arch, variables=variables)
+            self.eval_fn = make_eval_fn(self.model, self.config)
 
     def __call__(self, variables, epoch: int = 0) -> float:
+        self._ensure_eval_fn(variables)
         io = self.config.io
         ts = np.asarray(self.iou_thresholds, np.float64)  # (T,) thresholds
         n_t = len(ts)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 from yolofastest_tpu.configs import Config
-from yolofastest_tpu.models import YoloFastest, YoloFastestLite
+from yolofastest_tpu.models import build_model
 from yolofastest_tpu.models.graph import folded_apply, folded_apply_lite
 from yolofastest_tpu.ops import batched_nms, decode_heads, normalize
 
@@ -62,9 +62,9 @@ def export_detect_pipeline(
 ) -> jexport.Exported:
     """Full pipeline, weights baked in: (B,H,W) uint8 gray -> detection dict."""
     io = config.io
-    model_cls = YoloFastest if arch == "fastest" else YoloFastestLite
-    model = model_cls(num_cls=io.num_cls, num_anchors=io.num_anchors,
-                      compute_dtype=compute_dtype)
+    model = build_model(num_cls=io.num_cls, num_anchors=io.num_anchors,
+                        compute_dtype=compute_dtype, arch=arch,
+                        variables=variables)
     variables = jax.tree.map(jnp.asarray, variables)
 
     def fn(frames):

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolofastest_tpu.configs import Config
-from yolofastest_tpu.models import YoloFastest, load_torch_checkpoint
+from yolofastest_tpu.models import load_torch_checkpoint
 from yolofastest_tpu.ops import (batched_nms, decode_heads, preprocess_device,
                                  unpack_detections)
 from yolofastest_tpu.utils.visualize import CLASS_COLORS, plot_one_box
@@ -84,11 +84,14 @@ class Detector:
         self.arch = arch
         self.tta = tta
         self.variables = jax.tree.map(jnp.asarray, variables)
-        model_cls = YoloFastest if arch == "fastest" else _lite_cls()
-        self.model = model_cls(
+        from yolofastest_tpu.models import build_model
+
+        self.model = build_model(
             num_cls=config.io.num_cls,
             num_anchors=config.io.num_anchors,
             compute_dtype=compute_dtype,
+            arch=arch,
+            variables=variables,
         )
         self.logger = logger
 
@@ -349,12 +352,6 @@ def _merge_tta(boxes, conf, cls_score, cls_idx, valid, w: float):
 def _as_heads(out):
     """Normalise a model output to a tuple of heads (lite emits one array)."""
     return out if isinstance(out, (tuple, list)) else (out,)
-
-
-def _lite_cls():
-    from yolofastest_tpu.models import YoloFastestLite
-
-    return YoloFastestLite
 
 
 def image_to_net_input(ori: np.ndarray, io) -> np.ndarray:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolofastest_tpu.configs import Config
-from yolofastest_tpu.models import YoloFastest, YoloFastestLite
+from yolofastest_tpu.models import build_model
 from yolofastest_tpu.ops import (batched_nms, decode_heads, normalize,
                                  unpack_detections)
 
@@ -75,9 +75,9 @@ class StreamingDetector:
             apply_fn = lambda v, imgs: apply_folded(v, imgs, compute_dtype)
         else:
             self.variables = jax.tree.map(jnp.asarray, variables)
-            model_cls = YoloFastest if arch == "fastest" else YoloFastestLite
-            model = model_cls(num_cls=io.num_cls, num_anchors=io.num_anchors,
-                              compute_dtype=compute_dtype)
+            model = build_model(num_cls=io.num_cls, num_anchors=io.num_anchors,
+                                compute_dtype=compute_dtype, arch=arch,
+                                variables=variables)
             apply_fn = lambda v, imgs: model.apply(v, imgs, train=False)
 
         @jax.jit

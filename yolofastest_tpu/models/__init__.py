@@ -4,6 +4,7 @@ from yolofastest_tpu.models.yolo_fastest import (
     Deconv2x,
     YoloFastest,
     YoloFastestLite,
+    build_model,
 )
 from yolofastest_tpu.models.torch_io import load_torch_checkpoint
 from yolofastest_tpu.models.graph import (
@@ -29,5 +30,6 @@ __all__ = [
     "Deconv2x",
     "YoloFastest",
     "YoloFastestLite",
+    "build_model",
     "load_torch_checkpoint",
 ]

@@ -32,7 +32,7 @@ declares.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +147,10 @@ class YoloFastest(nn.Module):
     num_cls: int = 3
     num_anchors: int = 3
     compute_dtype: Any = jnp.float32
+    # ((block, width), ...) override of the res-block expansion widths —
+    # produced by models.prune.infer_inner_widths so pruned checkpoints
+    # train/fine-tune with their actual (smaller) shapes.  None = stock.
+    inner_widths: Optional[Tuple[Tuple[str, int], ...]] = None
 
     @property
     def num_out(self) -> int:
@@ -156,12 +160,13 @@ class YoloFastest(nn.Module):
     def __call__(self, x, train: bool = False) -> Tuple[jax.Array, jax.Array]:
         dt = self.compute_dtype
         x = x.astype(dt)
+        iw = dict(self.inner_widths or ())
 
         def cna(feat, k=3, s=1, dw=False, act=True, name=None):
             return ConvNormAct(feat, k, s, depthwise=dw, act=act, compute_dtype=dt, name=name)
 
         def res(io, inner, name):
-            return BasicResBlock(io, inner, compute_dtype=dt, name=name)
+            return BasicResBlock(io, iw.get(name, inner), compute_dtype=dt, name=name)
 
         x = cna(8, 3, 2, name="conv0")(x, train)
         x = cna(8, 1, name="conv1_2")(x, train)
@@ -250,6 +255,7 @@ class YoloFastestLite(nn.Module):
     num_cls: int = 3
     num_anchors: int = 3
     compute_dtype: Any = jnp.float32
+    inner_widths: Optional[Tuple[Tuple[str, int], ...]] = None
 
     @property
     def num_out(self) -> int:
@@ -259,12 +265,13 @@ class YoloFastestLite(nn.Module):
     def __call__(self, x, train: bool = False) -> jax.Array:
         dt = self.compute_dtype
         x = x.astype(dt)
+        iw = dict(self.inner_widths or ())
 
         def cna(feat, k=3, s=1, dw=False, act=True, name=None):
             return ConvNormAct(feat, k, s, depthwise=dw, act=act, compute_dtype=dt, name=name)
 
         def res(io, inner, name):
-            return BasicResBlock(io, inner, compute_dtype=dt, name=name)
+            return BasicResBlock(io, iw.get(name, inner), compute_dtype=dt, name=name)
 
         x = cna(8, 3, 2, name="conv0")(x, train)
         x = cna(8, 1, name="conv1_2")(x, train)
@@ -312,6 +319,32 @@ class YoloFastestLite(nn.Module):
             self.num_out, (1, 1), use_bias=True, kernel_init=_conv_init,
             dtype=dt, name="head_5",
         )(x)
+
+
+def build_model(
+    num_cls: int,
+    num_anchors: int,
+    compute_dtype: Any = jnp.float32,
+    arch: str = "fastest",
+    variables=None,
+):
+    """Construct the flax model for ``arch``, with the res-block expansion
+    widths inferred from ``variables`` when given — so a structurally pruned
+    checkpoint (:mod:`yolofastest_tpu.models.prune`) builds a model matching
+    its actual shapes.  With stock weights (or ``variables=None``) this is
+    exactly the default-width model."""
+    inner_widths = None
+    if variables is not None:
+        from yolofastest_tpu.models.prune import infer_inner_widths
+
+        inner_widths = infer_inner_widths(variables)
+    cls = YoloFastestLite if arch == "lite" else YoloFastest
+    return cls(
+        num_cls=num_cls,
+        num_anchors=num_anchors,
+        compute_dtype=compute_dtype,
+        inner_widths=inner_widths,
+    )
 
 
 def count_params(params) -> int:

@@ -267,12 +267,11 @@ class Trainer:
             mesh = make_mesh()
         self.mesh = mesh
 
-        if arch == "lite":
-            from yolofastest_tpu.models import YoloFastestLite as _ModelCls
-        else:
-            _ModelCls = YoloFastest
-        self.model = _ModelCls(
-            num_cls=io.num_cls, num_anchors=io.num_anchors, compute_dtype=compute_dtype
+        from yolofastest_tpu.models import build_model
+
+        self.model = build_model(
+            num_cls=io.num_cls, num_anchors=io.num_anchors,
+            compute_dtype=compute_dtype, arch=arch, variables=variables,
         )
         if variables is None:
             rng = jax.random.PRNGKey(tr.seed if seed is None else seed)
