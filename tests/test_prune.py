@@ -230,6 +230,31 @@ def test_cli_prune(tmp_path, zoo_vars, capsys):
     assert "res5_1/conv1" in capsys.readouterr().out
 
 
+def test_prune_composes_with_int8(zoo_vars):
+    """The full compression pipeline: prune -> calibrate -> int8 executor.
+    The quantised pruned graph must stay close to the pruned fp graph
+    (per-layer int8 on a 40%-pruned model; tolerance matches the PTQ
+    contract scale in tests/test_graph_quant.py)."""
+    from yolofastest_tpu.quant import calibrate, quantize_weights
+    from yolofastest_tpu.quant.ptq import quantized_apply
+
+    pruned, _ = prune_variables(zoo_vars, 0.4)
+    folded = fold_batchnorm(pruned)
+    rng = np.random.default_rng(3)
+    cal = rng.standard_normal((4, 256, 320, 1), np.float32) * 0.2
+    scales = calibrate(folded, [cal])
+    qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
+    x = jnp.asarray(cal[:2])
+    q_large, q_small = quantized_apply(qparams, scales, x)
+    f_large, f_small = jax.jit(folded_apply)(
+        jax.tree.map(jnp.asarray, folded), x)
+    # int8 error, not a bug bar: heads must correlate strongly
+    for q, f in zip((q_large, q_small), (f_large, f_small)):
+        q, f = np.asarray(q, np.float64).ravel(), np.asarray(f, np.float64).ravel()
+        corr = np.corrcoef(q, f)[0, 1]
+        assert corr > 0.99, corr
+
+
 @pytest.mark.skipif(not os.path.exists(LIB),
                     reason="native library not built (cpp/build.sh)")
 def test_native_engine_runs_pruned(zoo_vars, tmp_path):
