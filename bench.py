@@ -452,6 +452,33 @@ def main():
     print(f"512x640 batch 256: {dt*1e3:.2f} ms/iter -> {256/dt:,.0f} img/s "
           f"(reference best: 7.4 img/s)", file=sys.stderr)
 
+    # -------------------- pruned model (compression as a TPU perf lever too)
+    # The pipeline is HBM-bound; structured pruning (models/prune.py) cuts
+    # the res-block mid activations, so a 40%-pruned model should clear the
+    # stock headline.  Throughput is value-independent — no fine-tune needed
+    # for the measurement (accuracy recovery: docs/train_demo_prune/).
+    try:
+        from yolofastest_tpu.models.prune import prune_variables
+
+        pruned, _ = prune_variables(jax.device_get(variables), 0.4)
+        folded_p = jax.tree.map(jnp.asarray, fold_batchnorm(pruned))
+        spec = jax.ShapeDtypeStruct((best_batch, *io.input_hw), jnp.uint8)
+        compiled_p = pipeline.lower(folded_p, spec).compile()
+        frames_p = jax.device_put(
+            jnp.asarray(rng.integers(0, 256, (best_batch, *io.input_hw), np.uint8))
+        )
+        fetch(compiled_p(folded_p, frames_p))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            out = compiled_p(folded_p, frames_p)
+        fetch(out)
+        dtp = (time.perf_counter() - t0) / 20
+        extras["throughput_pruned040_img_s"] = round(best_batch / dtp, 1)
+        print(f"pruned 0.40 batch {best_batch}: {dtp*1e3:.2f} ms/iter -> "
+              f"{best_batch/dtp:,.0f} img/s", file=sys.stderr)
+    except Exception as e:
+        print(f"pruned bench failed: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "detect_throughput_256x320_bf16_streaming",
         "value": round(best, 1),
