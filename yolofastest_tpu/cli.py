@@ -115,10 +115,25 @@ def _make_index(root: str, class_names, logger=None, fmt: str = "auto"):
     return VOCIndex(root, class_names, logger)
 
 
+def _calib_kwargs(args) -> dict:
+    """Calibration-algorithm kwargs shared by every int8 entry point."""
+    return {"method": getattr(args, "calib_method", "amax"),
+            "percentile": getattr(args, "calib_percentile", 99.99)}
+
+
 def _int8_cache_path(args) -> str:
-    return args.calibration_cache or (
-        os.path.splitext(args.weights)[0] + ".calib.json"
-    )
+    """Default scale-cache path encodes the calibration method (amax keeps
+    the historical bare ``.calib.json`` so committed caches stay valid)."""
+    if args.calibration_cache:
+        return args.calibration_cache
+    method = getattr(args, "calib_method", "amax")
+    if method == "percentile":
+        suffix = ".calib-percentile%g.json" % getattr(args, "calib_percentile", 99.99)
+    elif method != "amax":
+        suffix = f".calib-{method}.json"
+    else:
+        suffix = ".calib.json"
+    return os.path.splitext(args.weights)[0] + suffix
 
 
 def _resolve_jax_int8_calibration(args, cfg, data_dir):
@@ -160,7 +175,7 @@ def _native_int8_scales(args, cfg, folded, data_dir):
     cal = _load_calibration(data_dir, cfg.io)
     if cal is None:
         return None
-    scales = calibrate(folded, [cal], arch=args.arch)
+    scales = calibrate(folded, [cal], arch=args.arch, **_calib_kwargs(args))
     with open(cache, "w") as f:
         json.dump(scales, f, indent=1)
     return scales
@@ -248,10 +263,13 @@ def cmd_detect(args) -> int:
             return 2
         calibration, cache = resolved
 
+    ck = _calib_kwargs(args)
     detector = Detector(cfg, variables=variables, logger=logger,
                         fold_bn=args.fold_bn, backend=backend,
                         calibration=calibration, calibration_cache=cache,
-                        arch=args.arch, tta=getattr(args, "tta", False))
+                        arch=args.arch, tta=getattr(args, "tta", False),
+                        calib_method=ck["method"],
+                        calib_percentile=ck["percentile"])
     if getattr(args, "sliced", None):
         return _sliced_detect_dir(args, cfg, detector, logger)
     detector.batch_detect(args.data, args.out, batch_size=args.batch)
@@ -340,11 +358,14 @@ def _build_engine(args, cfg, backend, calib_data):
         if resolved is None:
             return None
         calibration, cache = resolved
+    ck = _calib_kwargs(args)
     return Detector(cfg, variables=_load_weights(args.weights,
                                                   getattr(args, "arch", None)),
                     fold_bn=True, backend=backend,
                     calibration=calibration, calibration_cache=cache,
-                    arch=args.arch, tta=getattr(args, "tta", False))
+                    arch=args.arch, tta=getattr(args, "tta", False),
+                    calib_method=ck["method"],
+                    calib_percentile=ck["percentile"])
 
 
 def cmd_serve(args) -> int:
@@ -636,7 +657,8 @@ def cmd_export(args) -> int:
         # abort the main artifacts below
         cal = _load_calibration(args.calib_data, cfg.io)
         if cal is not None:
-            act_scales = calibrate(folded, [cal], arch=arch)
+            act_scales = calibrate(folded, [cal], arch=arch,
+                                   **_calib_kwargs(args))
 
     # the int8 artifacts may come from QAT-refined weights; the fp
     # artifacts always ship the original checkpoint
@@ -891,6 +913,20 @@ def cmd_info(args) -> int:
     return 0
 
 
+def _add_calib_method_flags(p) -> None:
+    """Calibration-algorithm knobs shared by every int8-capable command
+    (mirrors RKNN-Toolkit's quantized_algorithm normal/mmse/kl_divergence)."""
+    p.add_argument("--calib-method", default="amax",
+                   choices=["amax", "mse", "percentile", "entropy"],
+                   help="int8 activation-scale algorithm: amax (exact range"
+                        ", default), mse (min-quant-error clip — measured "
+                        "best on the zoo checkpoint), percentile, entropy "
+                        "(KL). Non-amax methods get their own cache file "
+                        "suffix")
+    p.add_argument("--calib-percentile", type=float, default=99.99,
+                   help="clip percentile for --calib-method percentile")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="yolofastest_tpu")
     p.add_argument("--compile-cache", default=None, metavar="DIR|off",
@@ -936,6 +972,7 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--calibration-cache", default=None,
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
+    _add_calib_method_flags(d)
     d.set_defaults(fn=cmd_detect)
 
     s = sub.add_parser("serve",
@@ -965,6 +1002,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--calibration-cache", default=None,
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
+    _add_calib_method_flags(s)
     s.set_defaults(fn=cmd_serve)
 
     v = sub.add_parser("video",
@@ -1002,6 +1040,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="association IoU gate for --track")
     v.add_argument("--track-max-age", type=int, default=10,
                    help="frames a track coasts unmatched before dropping")
+    _add_calib_method_flags(v)
     v.set_defaults(fn=cmd_video)
 
     t = sub.add_parser("train", help="train on a VOC-XML or COCO dataset")
@@ -1124,6 +1163,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
     e.add_argument("--log-dir", default="logs")
+    _add_calib_method_flags(e)
     e.set_defaults(fn=cmd_eval)
 
     x = sub.add_parser("export",
@@ -1148,6 +1188,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "the original weights)")
     x.add_argument("--qat-lr", type=float, default=1e-4,
                    help="Adam learning rate for --qat-steps")
+    _add_calib_method_flags(x)
     x.set_defaults(fn=cmd_export)
 
     i = sub.add_parser("info", help="model summary: per-layer shapes, "

@@ -49,6 +49,11 @@ class Detector:
         batches) of net-input images to derive activation scales from.
       calibration_cache: optional JSON path; scales are loaded from it when it
         exists, else computed from ``calibration`` and saved to it.
+      calib_method: activation-scale calibration algorithm for the int8
+        backends — 'amax' (default), 'mse', 'percentile' or 'entropy'
+        (see :func:`yolofastest_tpu.quant.calibrate`); ignored on a
+        calibration-cache hit (the cache already holds final scales).
+      calib_percentile: percentile for ``calib_method='percentile'``.
       tta: horizontal-flip test-time augmentation (beyond-reference).  The
         batch and its mirror run through the backbone as ONE doubled batch
         (a single XLA program — the flip is a device-side reverse, and the
@@ -70,6 +75,8 @@ class Detector:
         calibration_cache: Optional[str] = None,
         arch: str = "fastest",
         tta: bool = False,
+        calib_method: str = "amax",
+        calib_percentile: float = 99.99,
     ):
         if variables is None:
             if torch_checkpoint is None:
@@ -108,7 +115,8 @@ class Detector:
             folded = fold_batchnorm(jax.device_get(self.variables))
             scales = self._load_or_calibrate(
                 folded, calibration, calibration_cache,
-                functools.partial(calibrate, arch=arch),
+                functools.partial(calibrate, arch=arch, method=calib_method,
+                                  percentile=calib_percentile),
             )
             qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
             self.variables = qparams
