@@ -15,6 +15,9 @@ Here one typed config (``configs/``) + argparse drive every workflow:
   txt2xml   custom txt labels -> VOC XML (reference utils/txt2xml.py)
   voc2coco  VOC-layout dataset -> COCO layout
   anchors   k-means auto-anchors from a dataset's GT boxes
+  prune     structured channel pruning (res-block expansion channels)
+  sensitivity  per-layer int8 damage table + --keep-fp suggestion
+  info      model summary (per-layer shapes, params, MACs)
 """
 
 from __future__ import annotations
@@ -181,6 +184,18 @@ def _native_int8_scales(args, cfg, folded, data_dir):
     return scales
 
 
+def _parse_keep_fp(args, backend) -> tuple:
+    """``--keep-fp a,b,c`` -> layer-name tuple.  Returns ``None`` after a
+    printed message when the flag is set on a backend that can't mix."""
+    keep = tuple(s for s in (getattr(args, "keep_fp", None) or "").split(",")
+                 if s)
+    if keep and backend != "int8":
+        print("--keep-fp (mixed precision) applies to --backend int8 only",
+              file=sys.stderr)
+        return None
+    return keep
+
+
 def cmd_detect(args) -> int:
     from yolofastest_tpu.utils.logging import config_logger
 
@@ -253,6 +268,9 @@ def cmd_detect(args) -> int:
 
     variables = _load_weights(args.weights, getattr(args, "arch", None))
     backend = "fp" if args.backend == "jax" else args.backend  # legacy alias
+    keep_fp = _parse_keep_fp(args, backend)
+    if keep_fp is None:
+        return 2
     calibration = None
     cache = None
     if backend in ("int8", "int8-fused"):
@@ -269,7 +287,8 @@ def cmd_detect(args) -> int:
                         calibration=calibration, calibration_cache=cache,
                         arch=args.arch, tta=getattr(args, "tta", False),
                         calib_method=ck["method"],
-                        calib_percentile=ck["percentile"])
+                        calib_percentile=ck["percentile"],
+                        keep_fp=keep_fp)
     if getattr(args, "sliced", None):
         return _sliced_detect_dir(args, cfg, detector, logger)
     detector.batch_detect(args.data, args.out, batch_size=args.batch)
@@ -351,6 +370,9 @@ def _build_engine(args, cfg, backend, calib_data):
 
     from yolofastest_tpu.inference import Detector
 
+    keep_fp = _parse_keep_fp(args, backend)
+    if keep_fp is None:
+        return None
     calibration = None
     cache = None
     if backend in ("int8", "int8-fused"):
@@ -365,7 +387,8 @@ def _build_engine(args, cfg, backend, calib_data):
                     calibration=calibration, calibration_cache=cache,
                     arch=args.arch, tta=getattr(args, "tta", False),
                     calib_method=ck["method"],
-                    calib_percentile=ck["percentile"])
+                    calib_percentile=ck["percentile"],
+                    keep_fp=keep_fp)
 
 
 def cmd_serve(args) -> int:
@@ -815,6 +838,45 @@ def cmd_prune(args) -> int:
     return 0
 
 
+def cmd_sensitivity(args) -> int:
+    """Per-layer int8 sensitivity table (quant/sensitivity.py): quantise ONE
+    layer at a time, measure head-logit damage vs the fp folded graph, rank
+    worst-first, and print the ``--keep-fp`` line that deploys the worst K
+    in float (RKNN "hybrid quantization" analogue)."""
+    import json
+
+    from yolofastest_tpu.models import fold_batchnorm
+    from yolofastest_tpu.quant import layer_sensitivity
+
+    cfg = _get_config(args)
+    _check_arch_config(cfg, args.arch)
+    folded = fold_batchnorm(_load_weights(args.weights, args.arch))
+    cal = _load_calibration(args.data, cfg.io, k=args.images)
+    if cal is None:
+        return 2
+    act_scales = None
+    cache = _int8_cache_path(args)
+    if os.path.exists(cache):
+        # One calibration serves every int8 entry point (same cache file as
+        # detect/eval/export); a miss calibrates fresh from --data below.
+        with open(cache) as f:
+            act_scales = {k: float(v) for k, v in json.load(f).items()}
+        print(f"calibration scales: {cache}")
+    rows = layer_sensitivity(folded, [cal], arch=args.arch,
+                             act_scales=act_scales, **_calib_kwargs(args))
+    print(f"{'layer':<14} {'mean|d|':>12} {'max|d|':>12}")
+    for r in rows:
+        print(f"{r['layer']:<14} {r['mean_abs']:>12.6f} {r['max_abs']:>12.6f}")
+    worst = ",".join(r["layer"] for r in rows[:args.top])
+    print(f"\nsuggested mixed-precision deployment (worst {args.top}):")
+    print(f"  --backend int8 --keep-fp {worst}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=1)
+        print(f"wrote {args.json_out}")
+    return 0
+
+
 def cmd_voc2coco(args) -> int:
     from yolofastest_tpu.configs import get_config
     from yolofastest_tpu.data import voc_to_coco
@@ -969,6 +1031,10 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--slice-overlap", type=float, default=0.2,
                    help="fraction of tile extent shared by neighbouring "
                         "tiles (default 0.2)")
+    d.add_argument("--keep-fp", default=None, metavar="L1,L2,...",
+                   help="mixed precision for --backend int8: these folded-"
+                        "graph layers run the fp kernel (pick them with the "
+                        "'sensitivity' subcommand)")
     d.add_argument("--calibration-cache", default=None,
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
@@ -1162,6 +1228,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--calibration-cache", default=None,
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
+    e.add_argument("--keep-fp", default=None, metavar="L1,L2,...",
+                   help="mixed precision for --backend int8: these folded-"
+                        "graph layers run the fp kernel (pick them with the "
+                        "'sensitivity' subcommand)")
     e.add_argument("--log-dir", default="logs")
     _add_calib_method_flags(e)
     e.set_defaults(fn=cmd_eval)
@@ -1246,6 +1316,33 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--config-json")
     pr.add_argument("--out", required=True, help="output .npz path")
     pr.set_defaults(fn=cmd_prune)
+
+    sn = sub.add_parser(
+        "sensitivity",
+        help="per-layer int8 sensitivity: quantise one layer at a time, "
+             "rank the head-logit damage, suggest a --keep-fp set for "
+             "mixed-precision deployment")
+    sn.add_argument("--config", default="256x320",
+                    choices=["256x320", "512x640", "lite-256x320",
+                             "lite-512x640"])
+    sn.add_argument("--config-json", default=None,
+                    help="Config JSON file; overrides --config")
+    sn.add_argument("--weights", required=True,
+                    help=".npz / .pth / .onnx / epoch_N checkpoint dir")
+    sn.add_argument("--data", required=True,
+                    help="probe/calibration image directory")
+    sn.add_argument("--arch", default="fastest", choices=["fastest", "lite"])
+    sn.add_argument("--images", type=int, default=8,
+                    help="probe batch size (first N images of --data)")
+    sn.add_argument("--top", type=int, default=5,
+                    help="size of the suggested --keep-fp set")
+    sn.add_argument("--json-out", default=None,
+                    help="also write the ranked table as JSON")
+    sn.add_argument("--calibration-cache", default=None,
+                    help="JSON file for int8 activation scales (default: "
+                         "<weights>.calib.json; reused when it exists)")
+    _add_calib_method_flags(sn)
+    sn.set_defaults(fn=cmd_sensitivity)
 
     vc = sub.add_parser("voc2coco",
                         help="VOC-layout dataset -> COCO layout "

@@ -21,7 +21,7 @@ from __future__ import annotations
 import functools
 import os
 import time
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,10 @@ class Detector:
         (see :func:`yolofastest_tpu.quant.calibrate`); ignored on a
         calibration-cache hit (the cache already holds final scales).
       calib_percentile: percentile for ``calib_method='percentile'``.
+      keep_fp: for ``backend='int8'`` — folded-graph layer names that run
+        the fp kernel instead of int8 (mixed precision; pick them with
+        :func:`yolofastest_tpu.quant.layer_sensitivity` / the
+        ``sensitivity`` CLI).
       tta: horizontal-flip test-time augmentation (beyond-reference).  The
         batch and its mirror run through the backbone as ONE doubled batch
         (a single XLA program — the flip is a device-side reverse, and the
@@ -77,6 +81,7 @@ class Detector:
         tta: bool = False,
         calib_method: str = "amax",
         calib_percentile: float = 99.99,
+        keep_fp: Sequence[str] = (),
     ):
         if variables is None:
             if torch_checkpoint is None:
@@ -84,6 +89,11 @@ class Detector:
             variables = load_torch_checkpoint(torch_checkpoint)
         if backend not in ("fp", "int8", "int8-fused"):
             raise ValueError(f"unknown backend {backend!r}")
+        if keep_fp and backend != "int8":
+            raise ValueError(
+                "keep_fp (mixed precision) applies to backend='int8' only; "
+                "the fused executor carries int8 tensors between layers and "
+                "cannot splice fp layers in")
         if arch not in ("fastest", "lite"):
             raise ValueError(f"unknown arch {arch!r}")
         self.config = config
@@ -119,13 +129,37 @@ class Detector:
                                   percentile=calib_percentile),
             )
             qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
-            self.variables = qparams
             self.act_scales = scales
-            apply_q = (quantized_apply_fused if backend == "int8-fused"
-                       else quantized_apply)
+            if keep_fp:
+                # Mixed precision: the named layers run the fp folded kernel
+                # (RKNN "hybrid quantization" / TensorRT per-layer precision
+                # analogue — see quant/sensitivity.py for the sweep that
+                # picks them).
+                from yolofastest_tpu.quant.sensitivity import (
+                    quantized_apply_mixed,
+                )
 
-            def _apply(variables, images):
-                return _as_heads(apply_q(variables, scales, images, arch=arch))
+                unknown = set(keep_fp) - set(qparams)
+                if unknown:
+                    raise ValueError(
+                        f"unknown keep_fp layer(s): {sorted(unknown)}")
+                keep_fp = tuple(keep_fp)
+                fp_sub = jax.tree.map(
+                    jnp.asarray, {k: folded[k] for k in keep_fp})
+                self.variables = {"q": qparams, "fp": fp_sub}
+
+                def _apply(variables, images):
+                    return _as_heads(quantized_apply_mixed(
+                        variables["q"], variables["fp"], scales, images,
+                        fp_layers=keep_fp, arch=arch))
+            else:
+                self.variables = qparams
+                apply_q = (quantized_apply_fused if backend == "int8-fused"
+                           else quantized_apply)
+
+                def _apply(variables, images):
+                    return _as_heads(
+                        apply_q(variables, scales, images, arch=arch))
         elif fold_bn:
             # Deployment mode: run the BN-folded graph (the converted-model
             # analogue, models/graph.py) — skips the BN arithmetic entirely.

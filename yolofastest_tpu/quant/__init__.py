@@ -5,6 +5,10 @@ from yolofastest_tpu.quant.ptq import (
     quantized_apply,
     quantized_apply_fused,
 )
+from yolofastest_tpu.quant.sensitivity import (
+    layer_sensitivity,
+    quantized_apply_mixed,
+)
 from yolofastest_tpu.quant.qat import (
     FakeQuantExecutor,
     fake_quant_act,
@@ -19,6 +23,8 @@ __all__ = [
     "quantize_weights",
     "quantized_apply",
     "quantized_apply_fused",
+    "layer_sensitivity",
+    "quantized_apply_mixed",
     "FakeQuantExecutor",
     "fake_quant_act",
     "fake_quant_weight",
