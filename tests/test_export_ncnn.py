@@ -140,3 +140,52 @@ def test_ncnn_lite_arch(tmp_path):
     np.testing.assert_allclose(out["head_small"],
                                np.asarray(j_out).transpose(0, 3, 1, 2),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_ncnn_int8_calibration_table(tmp_path):
+    """model.table must let ncnn2int8 reproduce OUR quantisation exactly:
+    per layer, round(kernel * table_weight_scale) equals our kernel_q and
+    the input-blob multiplier is the inverse of our calibrated act scale;
+    every Convolution/ConvolutionDepthWise in the .param is covered and
+    Deconvolution (which ncnn keeps fp32) is absent."""
+    from yolofastest_tpu.export import export_ncnn_table
+    from yolofastest_tpu.quant import calibrate, quantize_weights
+
+    cfg = get_config("256x320")
+    folded = jax.device_get(fold_batchnorm(load_variables(zoo_path("256x320"))))
+    fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
+    imgs = (fx["pre_imgs"][:4].astype(np.float32)[..., None] - 128.0) / 255.0
+    qparams = quantize_weights(folded)
+    scales = calibrate(folded, [imgs])
+
+    pp, bp = str(tmp_path / "m.param"), str(tmp_path / "m.bin")
+    tp = str(tmp_path / "m.table")
+    export_ncnn(folded, cfg.io.input_hw, pp, bp)
+    export_ncnn_table(qparams, scales, tp)
+
+    table = {}
+    for ln in open(tp).read().splitlines():
+        toks = ln.split()
+        table[toks[0]] = np.array([float(t) for t in toks[1:]], np.float64)
+
+    from yolofastest_tpu.export.ncnn import _parse_param
+    for L in _parse_param(pp):
+        name = L["name"]
+        if L["type"] in ("Convolution", "ConvolutionDepthWise"):
+            assert name + "_param_0" in table, name
+            assert name in table and table[name].shape == (1,), name
+        elif L["type"] == "Deconvolution":
+            assert name + "_param_0" not in table and name not in table
+
+    for name in ("conv0", "res3_5/conv2", "head_4"):
+        w_mult = table[name + "_param_0"]
+        k = np.asarray(folded[name]["kernel"], np.float64)
+        assert w_mult.shape == (k.shape[-1],)
+        # ncnn2int8's math with these multipliers == our kernel_q
+        kq = np.clip(np.round(k * w_mult), -127, 127).astype(np.int8)
+        np.testing.assert_array_equal(kq, qparams[name]["kernel_q"])
+        np.testing.assert_allclose(table[name][0], 1.0 / scales[name],
+                                   rtol=1e-6)
+
+    with pytest.raises(ValueError, match="missing int8 scales"):
+        export_ncnn_table(qparams, {}, str(tmp_path / "bad.table"))

@@ -208,6 +208,7 @@ def test_cli_export_qat_refines_int8_artifacts(tmp_path, monkeypatch):
                    "--calib-data", str(data)] + extra)
         assert rc == 0
         assert os.path.exists(out / "forward_int8.stablehlo")
+        assert os.path.exists(out / "model.table")  # ncnn2int8 calibration
 
     fp_a = (base / "model.yfb").read_bytes()
     fp_b = (qat / "model.yfb").read_bytes()

@@ -738,6 +738,14 @@ def cmd_export(args) -> int:
                         os.path.join(args.out, "model_int8.onnx"),
                         arch=graph_arch)
         print("wrote", os.path.join(args.out, "model_int8.onnx"))
+        from yolofastest_tpu.export import export_ncnn_table
+
+        # calibration table for ncnn's own int8 compiler: ncnn2int8
+        # model.param model.bin out.param out.bin model.table
+        export_ncnn_table(qparams, act_scales,
+                          os.path.join(args.out, "model.table"),
+                          arch=graph_arch)
+        print("wrote", os.path.join(args.out, "model.table"))
 
     try:
         from yolofastest_tpu.export import export_torchscript

@@ -7,7 +7,8 @@ from yolofastest_tpu.export.stablehlo import (
 )
 from yolofastest_tpu.export.caffe import export_caffe
 from yolofastest_tpu.export.native import load_native_weights, save_native_weights
-from yolofastest_tpu.export.ncnn import export_ncnn, import_ncnn
+from yolofastest_tpu.export.ncnn import (export_ncnn, export_ncnn_table,
+                                          import_ncnn)
 from yolofastest_tpu.export.onnx import (export_onnx, export_onnx_detect,
                                           export_onnx_qdq, import_onnx)
 from yolofastest_tpu.export.torchscript import build_torch_module, export_torchscript
@@ -16,6 +17,7 @@ __all__ = [
     "build_torch_module",
     "export_caffe",
     "export_ncnn",
+    "export_ncnn_table",
     "import_ncnn",
     "export_onnx",
     "export_onnx_detect",

@@ -297,6 +297,51 @@ def import_ncnn(param_path: str, bin_path: Optional[str] = None,
     return folded, arch
 
 
+def export_ncnn_table(qparams: Dict[str, Dict[str, np.ndarray]],
+                      act_scales: Dict[str, float], table_path: str,
+                      arch: str = "yolofastest") -> None:
+    """Write an ncnn int8 calibration table for the exported ``.param``.
+
+    The reference's embedded chain quantises with ncnn's own tools:
+    ``ncnn2table`` walks a calibration image list to produce this text
+    table, then ``ncnn2int8 model.param model.bin out.param out.bin
+    model.table`` compiles the int8 deployment pair.  Since our PTQ already
+    computes every scale (``quant/ptq.py::quantize_weights``/``calibrate``
+    — the same per-channel-weight + per-tensor-activation scheme ncnn
+    uses), we emit the table directly: a reference user keeps their ncnn
+    int8 toolchain and skips its calibration step entirely — and gets our
+    better calibrators (mse/percentile/entropy) for free, which
+    ``ncnn2table`` doesn't offer.
+
+    Format (ncnn quantize-tool convention): two lines per quantised layer,
+    scales as *multipliers* (``q = round(fp * scale)``, i.e. ``127/amax`` —
+    the inverse of our dequantisation scales)::
+
+        <layer>_param_0 <w_scale_out0> <w_scale_out1> ...
+        <layer> <input_blob_scale>
+
+    Layer names match our ``.param`` export (graph names).  Only
+    Convolution / ConvolutionDepthWise layers are listed — ncnn does not
+    int8-quantise Deconvolution, so the two upsample layers stay fp32
+    there (our own backends quantise them; the golden-recall gates differ
+    accordingly).
+    """
+    lines = []
+    for name, kind, _k in _weight_schedule(arch):
+        if kind == "deconv":
+            continue
+        if name not in qparams or name not in act_scales:
+            raise ValueError(f"missing int8 scales for layer {name!r} "
+                             "(qparams from quantize_weights, act_scales "
+                             "from calibrate)")
+        w_mult = 1.0 / np.asarray(qparams[name]["w_scale"], np.float64)
+        lines.append(name + "_param_0 "
+                     + " ".join("%.9g" % s for s in w_mult))
+        lines.append("%s %.9g" % (name, 1.0 / float(act_scales[name])))
+    with open(table_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def export_ncnn(folded: Dict[str, Dict[str, np.ndarray]], input_hw,
                 param_path: str, bin_path: Optional[str] = None,
                 arch: str = "yolofastest") -> None:
