@@ -217,6 +217,13 @@ def test_cli_export_qat_refines_int8_artifacts(tmp_path, monkeypatch):
     i8_b = (qat / "model_int8.yfb").read_bytes()
     assert i8_a != i8_b  # int8 artifact carries the refined weights
 
+    # the ncnn2int8 calibration table is consumed together with the shipped
+    # fp model.param/model.bin — it must be derived from the ORIGINAL fp
+    # weights on the QAT path too (QAT-shrunk amax multipliers would clip
+    # the fp weights ncnn2int8 quantises), i.e. identical across both runs
+    assert (base / "model.param").read_bytes() == (qat / "model.param").read_bytes()
+    assert (base / "model.table").read_bytes() == (qat / "model.table").read_bytes()
+
 
 # ------------------------------------------------------------ real model
 

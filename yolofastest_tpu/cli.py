@@ -742,7 +742,14 @@ def cmd_export(args) -> int:
 
         # calibration table for ncnn's own int8 compiler: ncnn2int8
         # model.param model.bin out.param out.bin model.table
-        export_ncnn_table(qparams, act_scales,
+        # The table MUST be derived from the same weights the shipped
+        # model.param/model.bin carry (the original fp `folded` tree): with
+        # --qat-steps, `qparams` holds QAT-refined weights whose reduced
+        # amax multipliers would clip the fp weights ncnn2int8 actually
+        # quantises. The QAT refinement ships in the self-contained int8
+        # artifacts (model_int8.yfb / model_int8.onnx) instead.
+        table_qparams = qparams if int8_src is folded else quantize_weights(folded)
+        export_ncnn_table(table_qparams, act_scales,
                           os.path.join(args.out, "model.table"),
                           arch=graph_arch)
         print("wrote", os.path.join(args.out, "model.table"))

@@ -315,7 +315,13 @@ def export_ncnn_table(qparams: Dict[str, Dict[str, np.ndarray]],
 
     Format (ncnn quantize-tool convention): two lines per quantised layer,
     scales as *multipliers* (``q = round(fp * scale)``, i.e. ``127/amax`` —
-    the inverse of our dequantisation scales)::
+    the inverse of our dequantisation scales).  Multipliers are printed
+    with ``%.17g`` so the float64 values round-trip exactly; ncnn2int8's
+    quantisation with them then reproduces our ``kernel_q`` up to rounding
+    *ties* only (ncnn's ``float2int8`` rounds half away from zero where we
+    use numpy's round-half-to-even — products landing exactly on ``x.5``
+    may differ by one bin; locked for the non-tie case in
+    tests/test_export_ncnn.py)::
 
         <layer>_param_0 <w_scale_out0> <w_scale_out1> ...
         <layer> <input_blob_scale>
@@ -336,8 +342,8 @@ def export_ncnn_table(qparams: Dict[str, Dict[str, np.ndarray]],
                              "from calibrate)")
         w_mult = 1.0 / np.asarray(qparams[name]["w_scale"], np.float64)
         lines.append(name + "_param_0 "
-                     + " ".join("%.9g" % s for s in w_mult))
-        lines.append("%s %.9g" % (name, 1.0 / float(act_scales[name])))
+                     + " ".join("%.17g" % s for s in w_mult))
+        lines.append("%s %.17g" % (name, 1.0 / float(act_scales[name])))
     with open(table_path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
