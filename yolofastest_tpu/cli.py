@@ -767,6 +767,11 @@ def cmd_export(args) -> int:
     exp = export_folded_forward(folded, cfg, batch=args.batch, arch=arch)
     save_exported(exp, os.path.join(args.out, "forward.stablehlo"))
     print("wrote", os.path.join(args.out, "forward.stablehlo"))
+    from yolofastest_tpu.export import save_exported_mlir
+
+    # textual twin for the native consumer (cpp/build/yf_shlo)
+    save_exported_mlir(exp, os.path.join(args.out, "forward.mlir"))
+    print("wrote", os.path.join(args.out, "forward.mlir"))
     exp = export_detect_pipeline(variables, cfg, batch=args.batch, arch=arch)
     save_exported(exp, os.path.join(args.out, "detect.stablehlo"))
     print("wrote", os.path.join(args.out, "detect.stablehlo"))

@@ -4,6 +4,7 @@ from yolofastest_tpu.export.stablehlo import (
     export_int8_forward,
     load_exported,
     save_exported,
+    save_exported_mlir,
 )
 from yolofastest_tpu.export.caffe import export_caffe
 from yolofastest_tpu.export.native import load_native_weights, save_native_weights
@@ -29,6 +30,7 @@ __all__ = [
     "export_int8_forward",
     "load_exported",
     "save_exported",
+    "save_exported_mlir",
     "load_native_weights",
     "save_native_weights",
 ]

@@ -131,6 +131,17 @@ def save_exported(exported: jexport.Exported, path: str) -> None:
         f.write(exported.serialize())
 
 
+def save_exported_mlir(exported: jexport.Exported, path: str) -> None:
+    """Write the module's *textual* StableHLO alongside the serialized
+    artifact.  The text form is what the native consumer ``cpp/runner/
+    shlo_runner.cpp`` (``yf_shlo``) parses and interprets — the analogue of
+    the reference's ncnn runtime consuming its converted artifacts
+    (``main.cpp:7-59``) for the exported compiled graph itself."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(exported.mlir_module())
+
+
 def load_exported(path: str) -> jexport.Exported:
     with open(path, "rb") as f:
         return jexport.deserialize(f.read())
