@@ -22,6 +22,7 @@
 #endif
 
 #include "yf/model.h"
+#include "yf/neon.h"
 
 namespace yf {
 
@@ -164,6 +165,19 @@ inline void conv3x3_row_block(const float* row0, const float* kw,
     if (COUT_T == 4) {
       conv3x3_tile4_avx(row0, kw, bs, out_row, ox0, cin, stride,
                         in_row_stride, relu);
+      return;
+    }
+  }
+#elif defined(__aarch64__)
+  if (mb == 4) {  // NEON twins (ops_neon.cpp), bitwise-equal value order
+    if (COUT_T == 8) {
+      conv3x3_tile8_neon(row0, kw, bs, out_row, ox0, cin, stride,
+                         in_row_stride, relu);
+      return;
+    }
+    if (COUT_T == 4) {
+      conv3x3_tile4_neon(row0, kw, bs, out_row, ox0, cin, stride,
+                         in_row_stride, relu);
       return;
     }
   }

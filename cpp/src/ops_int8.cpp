@@ -22,6 +22,7 @@
 #endif
 
 #include "yf/int8.h"
+#include "yf/neon.h"
 
 namespace yf {
 
@@ -31,6 +32,8 @@ bool cpu_supports_int8_fast() {
          __builtin_cpu_supports("avx512bw") &&
          __builtin_cpu_supports("avx512vl") &&
          __builtin_cpu_supports("avx512vnni");
+#elif defined(__aarch64__)
+  return true;  // NEON int8 kernels (ops_neon.cpp) — baseline ARMv8.0
 #else
   return false;
 #endif
@@ -222,6 +225,8 @@ struct Kernels {
 Kernels pick_kernels() {
 #if defined(__x86_64__)
   if (cpu_supports_int8_fast()) return {quantize_block_vnni, gemm_block_vnni};
+#elif defined(__aarch64__)
+  return {quantize_block_neon, gemm_block_neon};
 #endif
   return {quantize_block_scalar, gemm_block_scalar};
 }
