@@ -603,9 +603,18 @@ def cmd_eval(args) -> int:
     loader = DetectionLoader(idx, cfg, augment=False, shuffle=False,
                              drop_last=False)
     iou_thresholds = None
+    strict_kw = {}
     if getattr(args, "coco_map", False):
         from yolofastest_tpu.eval import COCO_IOU_GRID
         iou_thresholds = COCO_IOU_GRID
+        if getattr(args, "coco_strict", False):
+            # pycocotools' exact conventions (standard IOU, 101-pt AP) —
+            # cross-validated in tests/test_map_cocoeval.py
+            strict_kw = dict(iou_convention="coco",
+                             ap_interpolation="coco101")
+    elif getattr(args, "coco_strict", False):
+        print("--coco-strict needs --coco-map", file=sys.stderr)
+        return 2
     backend = getattr(args, "backend", "train")
     if backend == "train" and getattr(args, "tta", False):
         print("--tta scores the DEPLOYED pipeline; pick a deployment "
@@ -615,7 +624,7 @@ def cmd_eval(args) -> int:
         # Reference-parity path: the training-loop evaluator (float boxes,
         # validate.py conventions) on the raw checkpoint.
         evaluator = MAPEvaluator(cfg, loader, logger=logger, arch=args.arch,
-                                 iou_thresholds=iou_thresholds)
+                                 iou_thresholds=iou_thresholds, **strict_kw)
         import jax
         import jax.numpy as jnp
 
@@ -635,7 +644,7 @@ def cmd_eval(args) -> int:
         evaluator = MAPEvaluator(
             cfg, loader, logger=logger, arch=args.arch,
             eval_fn=make_backend_eval_fn(engine, max_det=cfg.io.max_det),
-            iou_thresholds=iou_thresholds)
+            iou_thresholds=iou_thresholds, **strict_kw)
         variables = None
     mAP = evaluator(variables, epoch=0)
     print(f"mAP: {mAP:.4f}")
@@ -1235,6 +1244,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--coco-map", action="store_true",
                    help="additionally report COCO-style mAP@[.50:.95] "
                         "(10 IOU thresholds; headline mAP stays @0.5)")
+    e.add_argument("--coco-strict", action="store_true",
+                   help="with --coco-map: pycocotools' exact conventions — "
+                        "standard IOU (no +1px) matching and 101-point AP "
+                        "interpolation")
     e.add_argument("--tta", action="store_true",
                    help="horizontal-flip test-time augmentation (deployed "
                         "jax backends fp/int8/int8-fused): mirrored batch in "

@@ -23,6 +23,14 @@ replicate"):
 
 IOU uses the reference's +1-pixel convention (``utils/general.py:44-48``) in
 both NMS and matching so numbers stay comparable.
+
+**Strict-COCO mode** (``iou_convention="coco"`` + ``ap_interpolation=
+"coco101"``, CLI ``eval --coco-map --coco-strict``): matching uses the
+standard IOU (no +1px) and AP the 101-point recall-sampled interpolation —
+pycocotools' exact conventions, cross-validated against a vendored
+reimplementation of its evaluateImg/accumulate algorithm
+(``tools/cocoeval_ref.py``; fixture test ``tests/test_map_cocoeval.py``).
+Default stays the reference's conventions so historical numbers don't move.
 """
 
 from __future__ import annotations
@@ -186,6 +194,23 @@ def _iou_matrix_p1(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / (aa[:, None] + ab[None, :] - inter + 1e-16)
 
 
+def _iou_matrix_std(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Standard (pycocotools bbox) IOU matrix of (D, 4) vs (G, 4) boxes."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    x1 = np.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(a[:, None, 3], b[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    aa = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    ab = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    return inter / (aa[:, None] + ab[None, :] - inter + 1e-16)
+
+
+_IOU_MATRICES = {"plus1": _iou_matrix_p1, "coco": _iou_matrix_std}
+
+
 def average_precision(confs: np.ndarray, is_tp: np.ndarray, n_gt: int) -> float:
     """All-point interpolated AP (reference ``__calculate_AP``,
     ``validate.py:91-122``): sort by conf desc, sweep PR points, area =
@@ -203,6 +228,33 @@ def average_precision(confs: np.ndarray, is_tp: np.ndarray, n_gt: int) -> float:
     return float(np.sum((recall - prev_r) * max_future))
 
 
+# pycocotools' fixed recall sampling grid (Params.recThrs)
+COCO_REC_THRS = np.linspace(0.0, 1.0, 101)
+
+
+def average_precision_coco101(confs: np.ndarray, is_tp: np.ndarray,
+                              n_gt: int) -> float:
+    """pycocotools ``accumulate`` AP: precision envelope sampled at the 101
+    fixed recall thresholds (q[r] = envelope precision at the first PR
+    point with recall >= r; 0 past the curve's end)."""
+    if n_gt <= 0:
+        return 0.0
+    if confs.size == 0:
+        return 0.0
+    order = np.argsort(-confs, kind="stable")
+    tp = np.cumsum(is_tp[order])
+    fp = np.cumsum(~is_tp[order])
+    recall = tp / n_gt
+    precision = tp / (tp + fp)
+    envelope = np.maximum.accumulate(precision[::-1])[::-1]
+    idx = np.searchsorted(recall, COCO_REC_THRS, side="left")
+    q = np.where(idx < len(envelope), envelope[np.minimum(idx, len(envelope) - 1)], 0.0)
+    return float(q.mean())
+
+
+_AP_FNS = {"allpoint": average_precision, "coco101": average_precision_coco101}
+
+
 class MAPEvaluator:
     """Run the val set, match detections to GT, report per-class AP + mAP.
 
@@ -213,10 +265,21 @@ class MAPEvaluator:
 
     def __init__(self, config: Config, loader, model: Optional[YoloFastest] = None,
                  logger=None, arch: str = "fastest", eval_fn=None,
-                 iou_thresholds: Optional[Sequence[float]] = None):
+                 iou_thresholds: Optional[Sequence[float]] = None,
+                 iou_convention: str = "plus1",
+                 ap_interpolation: str = "allpoint"):
         self.config = config
         self.loader = loader
         self.logger = logger
+        # Matching-IOU convention and AP interpolation (module docstring):
+        # defaults reproduce the reference; ("coco", "coco101") is strict
+        # pycocotools semantics (tools/cocoeval_ref.py cross-validation).
+        if iou_convention not in _IOU_MATRICES:
+            raise ValueError(f"unknown iou_convention {iou_convention!r}")
+        if ap_interpolation not in _AP_FNS:
+            raise ValueError(f"unknown ap_interpolation {ap_interpolation!r}")
+        self._iou_matrix = _IOU_MATRICES[iou_convention]
+        self._ap = _AP_FNS[ap_interpolation]
         # Matching thresholds.  Default: the reference's single
         # ``iou_val_thre`` (mAP@0.5, validate.py:62).  Pass the COCO grid
         # (``COCO_IOU_GRID``) for mAP@[.50:.95] — threshold [0] stays the
@@ -344,7 +407,7 @@ class MAPEvaluator:
                 # vectorised across all T thresholds at once (each threshold
                 # keeps its own mask: a det that misses at 0.75 may still
                 # claim the GT a later det would have taken at 0.5).
-                iou_mat = _iou_matrix_p1(det["boxes"][b, :n_det], gt_xyxy)
+                iou_mat = self._iou_matrix(det["boxes"][b, :n_det], gt_xyxy)
                 iou_mat = np.where(cls_det[:, None] == gt_cls[None, :],
                                    iou_mat, -1.0)
                 used = np.zeros((n_t, len(gt_cls)), bool)
@@ -386,7 +449,7 @@ class MAPEvaluator:
             confs = np.array([x[0] for x in m], np.float64)
             tps = np.array([x[1] for x in m], bool).reshape(-1, n_t)
             for t in range(n_t):
-                ap_grid[c, t] = average_precision(
+                ap_grid[c, t] = self._ap(
                     confs, tps[:, t], int(target_num[c]))
             log("class: %s, target_num = %d, AP = %.3f"
                 % (io.class_names[c], target_num[c], ap_grid[c, 0]))
@@ -428,7 +491,7 @@ class MAPEvaluator:
                     igs = np.array([x[2] for x in m], bool).reshape(-1, n_t)
                     for t in range(n_t):
                         keep = ~igs[:, t]
-                        aps[c, t] = average_precision(
+                        aps[c, t] = self._ap(
                             confs[keep], tps[keep, t], int(range_gt[r][c]))
                     recs[c] = tps.sum(axis=0) / float(range_gt[r][c])
                 has = np.isfinite(aps).any()
