@@ -6,8 +6,13 @@ joins a ``jax.distributed`` coordinator, builds ONE global mesh over all
 N x M devices, and runs one full SPMD train step feeding only its local
 shard of the global batch — the exact wiring a TPU pod uses, minus the pod.
 
-Usage: python tools/mp_dryrun_worker.py PORT PROCESS_ID NUM_PROCESSES LOCAL_DEVICES
+Usage: python tools/mp_dryrun_worker.py PORT PROCESS_ID NUM_PROCESSES LOCAL_DEVICES [CKPT_DIR]
 Prints ``MP_OK rank=<r> loss=<v>`` on success.
+
+With CKPT_DIR (a directory shared by all ranks), additionally exercises the
+distributed checkpoint/resume path a real pod needs: every rank saves the
+orbax checkpoint from the live global mesh state, a FRESH trainer restores
+it on the same mesh, training continues — prints ``MP_RESUME_OK rank=<r>``.
 """
 
 import os
@@ -71,6 +76,29 @@ def main():
     assert np.isfinite(loss), loss
     assert int(trainer.state.step) == 2
     print(f"MP_OK rank={pid} loss={loss:.5f}", flush=True)
+
+    if len(sys.argv) > 5:
+        # Distributed checkpoint/resume (round-3 verdict item 7): save from
+        # the live 2-process mesh, restore into a FRESH trainer on the same
+        # mesh, continue stepping.
+        ckpt_dir = sys.argv[5]
+        path = trainer.save_checkpoint(ckpt_dir, epoch=0)
+        assert os.path.isdir(path), path
+        want = jax.device_get(trainer.state.params)
+
+        trainer2 = Trainer(cfg, mesh=mesh, batch_per_epoch=10, seed=1)
+        assert int(trainer2.state.step) == 0
+        trainer2.restore_checkpoint(path)
+        assert int(trainer2.state.step) == 2, int(trainer2.state.step)
+        got = jax.device_get(trainer2.state.params)
+        flat_w, _ = jax.tree_util.tree_flatten(want)
+        flat_g, _ = jax.tree_util.tree_flatten(got)
+        for a, b in zip(flat_w, flat_g):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        m = trainer2.step(imgs, tgts)  # resumed state steps (opt state live)
+        assert np.isfinite(float(m["total"]))
+        assert int(trainer2.state.step) == 3
+        print(f"MP_RESUME_OK rank={pid}", flush=True)
 
 
 if __name__ == "__main__":

@@ -483,9 +483,17 @@ class Trainer:
 
         path = os.path.abspath(os.path.join(directory, f"epoch_{epoch}"))
         ckpt = ocp.StandardCheckpointer()
-        ckpt.save(path, jax.device_get(self.state), force=True)
+        if jax.process_count() > 1:
+            # Multi-process mesh (pod training): every rank passes the LIVE
+            # global jax.Arrays and orbax coordinates the distributed write
+            # (device_get'ing to numpy would make every rank write the whole
+            # tree to the same path — a race).  Locked by the 2-process
+            # dryrun (tools/mp_dryrun_worker.py).
+            ckpt.save(path, self.state, force=True)
+        else:
+            ckpt.save(path, jax.device_get(self.state), force=True)
         ckpt.wait_until_finished()
-        if max_to_keep:
+        if max_to_keep and jax.process_index() == 0:
             import re
             import shutil
 
@@ -508,8 +516,15 @@ class Trainer:
         path = os.path.abspath(path)
         ckpt = ocp.StandardCheckpointer()
         host = jax.device_get(self.state)
+        # Multi-process restore: annotate the abstract tree with the
+        # replicated mesh sharding so orbax hands back GLOBAL arrays every
+        # rank can use directly (an unannotated restore yields per-host
+        # numpy, which cannot represent a multi-host array).
+        shard = (NamedSharding(self.mesh, P())
+                 if jax.process_count() > 1 else None)
         aspec = lambda t: jax.tree.map(  # noqa: E731
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), t)
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype,
+                                           sharding=shard), t)
         # The abstract tree must mirror the CHECKPOINT's layout (orbax
         # rejects any ema-subtree mismatch), so shape it from metadata.
         abstract = {f: aspec(getattr(host, f))
