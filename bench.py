@@ -494,13 +494,24 @@ def main():
 
     # -------------------- pruned model (compression as a TPU perf lever too)
     # The pipeline is HBM-bound; structured pruning (models/prune.py) cuts
-    # the res-block mid activations, so a 40%-pruned model should clear the
-    # stock headline.  Throughput is value-independent — no fine-tune needed
-    # for the measurement (accuracy recovery: docs/train_demo_prune/).
+    # the res-block mid activations, so a 40%-pruned model clears the stock
+    # headline.  Measured on the SHIPPED eval-grade pruned checkpoint
+    # (weights/yolofastest_pruned040_256x320.npz, golden recall 34/34 —
+    # docs/train_demo_prune040/) when present, else an ad-hoc prune
+    # (throughput is value-independent).
     try:
-        from yolofastest_tpu.models.prune import prune_variables
+        pruned_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "weights",
+                                   "yolofastest_pruned040_256x320.npz")
+        if os.path.exists(pruned_path):
+            from yolofastest_tpu.models import load_variables
 
-        pruned, _ = prune_variables(jax.device_get(variables), 0.4)
+            pruned = load_variables(pruned_path)
+            extras["pruned040_artifact"] = "weights/yolofastest_pruned040_256x320.npz"
+        else:
+            from yolofastest_tpu.models.prune import prune_variables
+
+            pruned, _ = prune_variables(jax.device_get(variables), 0.4)
         folded_p = jax.tree.map(jnp.asarray, fold_batchnorm(pruned))
         spec = jax.ShapeDtypeStruct((best_batch, *io.input_hw), jnp.uint8)
         compiled_p = pipeline.lower(folded_p, spec).compile()

@@ -92,6 +92,18 @@ def run_resolution(res, out_dir):
         "int8-fused": jax.jit(lambda x: post(quantized_apply_fused(qparams, scales, x))),
     }
 
+    # eval-grade pruned checkpoint (docs/train_demo_prune040): same pipeline,
+    # 20.6% fewer params — the compression row of the table
+    pruned_path = os.path.join(REPO, "weights",
+                               f"yolofastest_pruned040_{res}.npz")
+    if os.path.exists(pruned_path):
+        from yolofastest_tpu.models.graph import folded_apply
+
+        folded_p = jax.tree.map(
+            jnp.asarray, fold_batchnorm(load_variables(pruned_path)))
+        backends["pruned040-bf16"] = jax.jit(
+            lambda x: post(folded_apply(folded_p, x, jnp.bfloat16)))
+
     results = {}
     x = jnp.asarray(imgs)
     for name, fn in backends.items():
