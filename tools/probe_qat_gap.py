@@ -20,7 +20,8 @@ sys.path.insert(0, REPO)
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("YF_PROBE_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 

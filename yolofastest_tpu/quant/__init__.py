@@ -9,6 +9,7 @@ from yolofastest_tpu.quant.sensitivity import (
     layer_sensitivity,
     quantized_apply_mixed,
 )
+from yolofastest_tpu.quant.zoo import int8_zoo_path, load_int8_zoo, save_int8_zoo
 from yolofastest_tpu.quant.qat import (
     FakeQuantExecutor,
     fake_quant_act,
@@ -30,4 +31,7 @@ __all__ = [
     "fake_quant_weight",
     "qat_apply",
     "qat_finetune",
+    "int8_zoo_path",
+    "load_int8_zoo",
+    "save_int8_zoo",
 ]

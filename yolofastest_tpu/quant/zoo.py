@@ -1,0 +1,53 @@
+"""Shipped int8 deployment artifacts (`weights/yolofastest_int8_<res>.npz`).
+
+One artifact per resolution carries the QAT/calibration-refined BN-folded
+weights AND the frozen activation scales every int8 backend deploys at —
+jax per-layer, jax fused, the native VNNI engine, QDQ ONNX.  Built by
+``tools/make_int8_zoo.py`` (recipe selected by
+``tools/search_int8_recipe.py`` so golden recall matches fp on ALL int8
+backends); consumed by ``tools/run_golden_suite.py`` and the zoo tests.
+
+The reference's analogue is the RKNN quantised build artifact its NPU
+pipeline would ship (``rknn_deploy.py:43`` — left at fp16 there; int8 was
+its stated future work, ``问题列表与理解.txt:32``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+from yolofastest_tpu.models import load_variables, save_variables
+
+
+def int8_zoo_path(res: str) -> str:
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, "weights", f"yolofastest_int8_{res}.npz")
+
+
+def save_int8_zoo(folded: Dict[str, Any], act_scales: Dict[str, float],
+                  path: str) -> None:
+    import numpy as np
+
+    save_variables({"folded": folded,
+                    "act_scales": {k: np.float64(v)
+                                   for k, v in act_scales.items()}}, path)
+
+
+def load_int8_zoo(res_or_path: str) -> Optional[Tuple[Dict[str, Any],
+                                                      Dict[str, float]]]:
+    """Returns ``(folded, act_scales)`` or None when the artifact is absent.
+
+    ``act_scales`` values come back as plain floats (what `Int8Executor`,
+    `save_native_weights` and the exporters expect)."""
+    path = (res_or_path if os.path.sep in res_or_path or
+            res_or_path.endswith(".npz") else int8_zoo_path(res_or_path))
+    if not os.path.exists(path):
+        return None
+    tree = load_variables(path)
+    if "folded" not in tree or "act_scales" not in tree:
+        raise ValueError(f"{path}: not an int8 zoo artifact "
+                         "(expect 'folded' + 'act_scales' subtrees)")
+    scales = {k: float(v) for k, v in tree["act_scales"].items()}
+    return tree["folded"], scales
