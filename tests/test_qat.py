@@ -144,6 +144,31 @@ def test_distillation_reduces_quant_error(lite_setup):
     assert err1 < err0, (err0, err1)
 
 
+def test_conf_weighted_and_snapshots(lite_setup):
+    """conf_weight reweights only the objectness channels (loss still
+    descends); snapshot_every returns the periodic parameter snapshots for
+    metric-based selection (tools/search_int8_recipe2.py)."""
+    folded, scales, imgs = lite_setup
+    tuned, hist, snaps = qat_finetune(folded, scales, [imgs], arch="lite",
+                                      steps=20, lr=3e-4, conf_weight=4.0,
+                                      snapshot_every=5)
+    assert len(snaps) == 4
+    # API-contract test: trajectory finite (descent is covered by
+    # test_distillation_reduces_quant_error; 20 STE steps on a random-init
+    # model are too noisy to assert descent on)
+    assert np.all(np.isfinite(hist))
+    # snapshots are real, distinct parameter trees on the same treedef
+    t0 = jax.tree_util.tree_structure(folded)
+    for s in snaps:
+        assert jax.tree_util.tree_structure(s) == t0
+    a = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(snaps[0])])
+    b = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(snaps[-1])])
+    assert not np.array_equal(a, b)
+    # default conf_weight keeps the 2-tuple return contract
+    out = qat_finetune(folded, scales, [imgs], arch="lite", steps=2, lr=3e-4)
+    assert len(out) == 2
+
+
 def test_label_mode_loss_descends(lite_setup):
     folded, scales, imgs = lite_setup
     tgts = np.zeros((2, 8, 6), np.float32)

@@ -67,8 +67,22 @@ def run_resolution(res, out_dir):
 
     variables = jax.tree.map(jnp.asarray, load_variables(zoo_path(res)))
     folded = fold_batchnorm(jax.device_get(variables))
-    qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
-    scales = calibrate(folded, [imgs[:8]])
+
+    # int8 rows deploy the SHIPPED int8 zoo artifact when present (refined
+    # folded weights + frozen activation scales — ONE deployment config for
+    # jax per-layer, jax fused AND native VNNI; tools/make_int8_zoo.py /
+    # search_int8_recipe*.py), falling back to on-the-fly amax PTQ.
+    from yolofastest_tpu.quant import load_int8_zoo
+
+    zoo8 = load_int8_zoo(res)
+    if zoo8 is not None:
+        int8_folded, scales = zoo8
+        int8_src = f"weights/yolofastest_int8_{res}.npz"
+    else:
+        int8_folded = folded
+        scales = calibrate(folded, [imgs[:8]])
+        int8_src = "on-the-fly amax-8 PTQ"
+    qparams = jax.tree.map(jnp.asarray, quantize_weights(int8_folded))
 
     def post(heads):
         b, c, s, ci, v = decode_heads(heads, io.anchors, io.input_hw,
@@ -155,12 +169,13 @@ def run_resolution(res, out_dir):
         print(f"[{res}] native-cpp: recall {matched}/{len(golden)}, "
               f"{best_total/len(imgs):.2f} ms/img (single-image)")
 
-        # native C++ engine, int8 arithmetic (VNNI dpbusd on the 1x1 convs;
-        # activation scales calibrated on the full golden set — with only 8
-        # images one 512x640 box lands at conf 0.68 under the 0.5 gate)
+        # native C++ engine, int8 arithmetic (VNNI dpbusd on the 1x1 convs):
+        # the same shipped artifact/scales as the jax int8 rows above
         yfb8 = os.path.join(out_dir, f"model_{res}_int8.yfb")
-        save_native_weights(quantize_weights(folded), yfb8,
-                            act_scales=calibrate(folded, [imgs]))
+        native_scales = (scales if zoo8 is not None
+                         else calibrate(folded, [imgs]))
+        save_native_weights(quantize_weights(int8_folded), yfb8,
+                            act_scales=native_scales)
         eng8 = NativeEngine(yfb8, cfg)
         matched8 = 0
         best_total8 = float("inf")
@@ -182,6 +197,7 @@ def run_resolution(res, out_dir):
             "detection_rate": round(matched8 / len(golden), 4),
             "ms_per_img": round(best_total8 / len(imgs), 2),
             "int8_layers": eng8.int8_layers,
+            "int8_source": int8_src,
         }
         print(f"[{res}] native-cpp-int8: recall {matched8}/{len(golden)}, "
               f"{best_total8/len(imgs):.2f} ms/img (single-image)")

@@ -143,6 +143,8 @@ def qat_finetune(
     num_cls: int = 3,
     steps: int = 50,
     lr: float = 1e-4,
+    conf_weight: float = 1.0,
+    snapshot_every: int = 0,
 ) -> Tuple[Dict[str, Dict[str, np.ndarray]], List[float]]:
     """Fine-tune folded weights through the fake-quant graph.
 
@@ -164,6 +166,13 @@ def qat_finetune(
     returned params are the **lowest-loss point on the trajectory**, not
     the last step (``history`` still records every step, so callers can
     see the raw curve).
+
+    ``conf_weight`` > 1 emphasises the objectness channels in the
+    distillation MSE (the deployment failure mode is a conf logit slipping
+    under the detect gate).  ``snapshot_every`` = K > 0 additionally
+    returns every K-th-step parameter snapshot as a third tuple element,
+    for callers that select on a deployment metric (e.g. all-backend
+    golden recall, ``tools/search_int8_recipe.py``) instead of the loss.
     """
     if targets is not None and (anchors is None or input_hw is None):
         raise ValueError("label mode needs anchors and input_hw")
@@ -186,8 +195,20 @@ def qat_finetune(
 
         def loss_fn(p, x, ref):
             heads = _as_head_tuple(qat_apply(p, act_scales, x, arch))
-            return sum(jnp.mean((h - r) ** 2) for h, r in zip(heads, ref)
-                       ) / len(heads)
+            if conf_weight == 1.0:
+                return sum(jnp.mean((h - r) ** 2) for h, r in zip(heads, ref)
+                           ) / len(heads)
+            # conf-weighted distillation: the deployment-visible failure
+            # mode is a conf logit slipping under the detect gate, so the
+            # objectness channel (offset 4 in each anchor's 5+C block) can
+            # be emphasised over box/class channels.
+            tot = 0.0
+            for h, r in zip(heads, ref):
+                blk = h.shape[-1] // 3  # 5 + C
+                w = jnp.ones((h.shape[-1],), h.dtype)
+                w = w.at[4::blk].set(conf_weight)
+                tot = tot + jnp.mean((h - r) ** 2 * w) / jnp.mean(w)
+            return tot / len(heads)
     else:
         from yolofastest_tpu.losses import total_loss
 
@@ -206,6 +227,7 @@ def qat_finetune(
         return optax.apply_updates(p, updates), s, l
 
     history: List[float] = []
+    snapshots: List[Dict[str, Dict[str, np.ndarray]]] = []
     xs = [jnp.asarray(b, jnp.float32) for b in batches]
     best_loss, best_params = np.inf, params
     for i in range(steps):
@@ -217,4 +239,11 @@ def qat_finetune(
         if np.isfinite(l) and l < best_loss:
             best_loss, best_params = l, params
         params = new_params
-    return jax.tree_util.tree_map(np.asarray, best_params), history
+        if snapshot_every and (i + 1) % snapshot_every == 0:
+            snapshots.append(jax.tree_util.tree_map(np.asarray, params))
+    result = jax.tree_util.tree_map(np.asarray, best_params)
+    if snapshot_every:
+        # caller selects on its OWN metric (e.g. all-backend golden recall)
+        # — the loss is a proxy and the STE trajectory is noisy
+        return result, history, snapshots
+    return result, history

@@ -49,5 +49,28 @@ def load_int8_zoo(res_or_path: str) -> Optional[Tuple[Dict[str, Any],
     if "folded" not in tree or "act_scales" not in tree:
         raise ValueError(f"{path}: not an int8 zoo artifact "
                          "(expect 'folded' + 'act_scales' subtrees)")
-    scales = {k: float(v) for k, v in tree["act_scales"].items()}
-    return tree["folded"], scales
+    # layer names contain '/' (e.g. "res3_5/conv2"), which the flat-npz
+    # round-trip re-nests — flatten them back to '/'-joined keys.  The
+    # folded tree needs the same treatment one level up: its leaves are the
+    # per-layer {kernel, bias} dicts.
+    def flat_scalars(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, dict):
+                out.update(flat_scalars(v, key + "/"))
+            else:
+                out[key] = float(v)
+        return out
+
+    def flat_layers(d, prefix=""):
+        out = {}
+        for k, v in d.items():
+            key = f"{prefix}{k}"
+            if isinstance(v, dict) and not {"kernel", "bias"} <= set(v):
+                out.update(flat_layers(v, key + "/"))
+            else:
+                out[key] = v
+        return out
+
+    return flat_layers(tree["folded"]), flat_scalars(tree["act_scales"])
