@@ -10,6 +10,19 @@ backends); consumed by ``tools/run_golden_suite.py`` and the zoo tests.
 The reference's analogue is the RKNN quantised build artifact its NPU
 pipeline would ship (``rknn_deploy.py:43`` — left at fp16 there; int8 was
 its stated future work, ``问题列表与理解.txt:32``).
+
+Shipped recipes (round 4; every int8 backend reads full golden recall —
+34/34 and 33/33, `tests/test_int8_zoo.py`):
+
+* ``512x640`` — plain PTQ weights, amax calibration over the first 16
+  golden images (the full-set amax over-widens two late ranges and the
+  8-image set misses one activation tail; 16 is the measured sweet spot).
+* ``256x320`` — recall-selected QAT: amax-8 scales, conf-weighted
+  (``conf_weight=4``) distillation on the golden set, snapshots every 20
+  steps scored on ALL THREE backends, shipped snapshot = step 460 (loss-
+  selected QAT does NOT work here — the STE trajectory visits each
+  backend's full recall at different steps, so selection must be on the
+  deployment metric; see tools/search_int8_recipe2.py).
 """
 
 from __future__ import annotations
