@@ -160,6 +160,25 @@ def _conv(x, w, b, strides, pads, group):
     return y.reshape(n, co, oh, ow) + b[None, :, None, None]
 
 
+def _pool(x, kernel, strides, pads, avg):
+    """NCHW 2D max/average pool (count_include_pad semantics for avg)."""
+    n, c, h, w = x.shape
+    kh, kw = kernel
+    sh, sw = strides
+    pt, pl, pb, pr = pads
+    fill = 0.0 if avg else -np.inf
+    xp = np.pad(x, ((0, 0), (0, 0), (pt, pb), (pl, pr)),
+                constant_values=fill)
+    oh = (h + pt + pb - kh) // sh + 1
+    ow = (w + pl + pr - kw) // sw + 1
+    y = np.full((n, c, oh, ow), 0.0 if avg else -np.inf, np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            patch = xp[:, :, i:i + oh * sh:sh, j:j + ow * sw:sw]
+            y = y + patch if avg else np.maximum(y, patch)
+    return (y / (kh * kw) if avg else y).astype(np.float32)
+
+
 def _conv_transpose(x, w, b, strides):
     """NCHW ConvTranspose, pads=0, group=1; w is (Cin, Cout, kh, kw)."""
     n, ci, h, wd = x.shape
@@ -215,7 +234,10 @@ def run(nodes, init, feeds):
     for op, ins, outs, attrs in nodes:
         a = [env[i] for i in ins]
         if op == "Conv":
-            y = _conv(a[0], a[1], a[2], attrs["strides"], attrs["pads"],
+            if any(d != 1 for d in attrs.get("dilations", [1, 1])):
+                raise NotImplementedError("dilated Conv")
+            bias = a[2] if len(a) > 2 else np.zeros(a[1].shape[0], np.float32)
+            y = _conv(a[0], a[1], bias, attrs["strides"], attrs["pads"],
                       attrs.get("group", 1) or 1)
         elif op == "ConvTranspose":
             y = _conv_transpose(a[0], a[1], a[2], attrs["strides"])
@@ -269,6 +291,49 @@ def run(nodes, init, feeds):
                          keepdims=bool(attrs.get("keepdims", 1)))
         elif op == "Equal":
             y = a[0] == a[1]
+        elif op == "Div":
+            y = a[0] / a[1]
+        elif op == "Max":
+            y = np.maximum(a[0], a[1])
+        elif op == "Min":
+            y = np.minimum(a[0], a[1])
+        elif op == "Neg":
+            y = -a[0]
+        elif op == "Log":
+            y = np.log(a[0])
+        elif op == "Tanh":
+            y = np.tanh(a[0])
+        elif op == "Sqrt":
+            y = np.sqrt(a[0])
+        elif op == "Reciprocal":
+            y = 1.0 / a[0]
+        elif op == "Abs":
+            y = np.abs(a[0])
+        elif op == "Pow":
+            y = np.power(a[0], a[1])
+        elif op == "MatMul":
+            y = np.matmul(a[0], a[1])
+        elif op == "Expand":
+            y = np.broadcast_to(a[0], tuple(int(d) for d in a[1])).copy()
+        elif op == "Where":
+            y = np.where(a[0], a[1], a[2])
+        elif op == "Greater":
+            y = a[0] > a[1]
+        elif op == "Less":
+            y = a[0] < a[1]
+        elif op == "GreaterOrEqual":
+            y = a[0] >= a[1]
+        elif op == "LessOrEqual":
+            y = a[0] <= a[1]
+        elif op == "ReduceSum":
+            y = a[0].sum(axis=tuple(attrs["axes"]),
+                         keepdims=bool(attrs.get("keepdims", 1)))
+        elif op == "ReduceMin":
+            y = a[0].min(axis=tuple(attrs["axes"]),
+                         keepdims=bool(attrs.get("keepdims", 1)))
+        elif op in ("MaxPool", "AveragePool"):
+            y = _pool(a[0], attrs["kernel_shape"], attrs["strides"],
+                      attrs.get("pads", [0, 0, 0, 0]), avg=op == "AveragePool")
         elif op == "Cast":
             y = a[0].astype({1: np.float32, 7: np.int64,
                              9: np.bool_}[attrs["to"]])

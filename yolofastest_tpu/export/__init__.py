@@ -7,6 +7,7 @@ from yolofastest_tpu.export.stablehlo import (
     save_exported_mlir,
 )
 from yolofastest_tpu.export.caffe import export_caffe
+from yolofastest_tpu.export.generic_onnx import export_jax_onnx
 from yolofastest_tpu.export.native import load_native_weights, save_native_weights
 from yolofastest_tpu.export.ncnn import (export_ncnn, export_ncnn_table,
                                           import_ncnn)
@@ -17,6 +18,7 @@ from yolofastest_tpu.export.torchscript import build_torch_module, export_torchs
 __all__ = [
     "build_torch_module",
     "export_caffe",
+    "export_jax_onnx",
     "export_ncnn",
     "export_ncnn_table",
     "import_ncnn",
