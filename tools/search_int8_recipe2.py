@@ -50,15 +50,15 @@ def iou(a, b):
 
 
 def make_scales(folded, imgs, name):
-    if name == "amax8":
-        return calibrate(folded, [imgs[:8]])
-    if name == "amax16":
-        return calibrate(folded, [imgs[:16]])
-    if name == "amaxF":
-        return calibrate(folded, [imgs])
-    if name == "mseF":
-        return calibrate(folded, [imgs], method="mse")
-    raise SystemExit(f"unknown scale set {name}")
+    """'amax<K>' / 'mse<K>' / 'pct<K>' with K = image count ('F' = all)."""
+    import re
+
+    m = re.fullmatch(r"(amax|mse|pct)(\d+|F)", name)
+    if not m:
+        raise SystemExit(f"unknown scale set {name}")
+    method = {"amax": "amax", "mse": "mse", "pct": "percentile"}[m.group(1)]
+    cal = imgs if m.group(2) == "F" else imgs[:int(m.group(2))]
+    return calibrate(folded, [cal], method=method)
 
 
 def main():
@@ -69,9 +69,17 @@ def main():
     ap.add_argument("--snap", type=int, default=40)
     ap.add_argument("--lr", type=float, default=5e-5)
     ap.add_argument("--conf-weight", type=float, default=4.0)
+    ap.add_argument("--weights", default=None,
+                    help="checkpoint .npz (default: the stock zoo for --res;"
+                         " pass the pruned checkpoint to build its artifact)")
+    ap.add_argument("--out", default=None,
+                    help="artifact path for --ship (default "
+                         "weights/yolofastest_int8_<res>.npz)")
+    ap.add_argument("--target", type=int, default=0,
+                    help="recall target (default: all golden detections)")
     ap.add_argument("--ship", action="store_true",
-                    help="write weights/yolofastest_int8_<res>.npz on a "
-                         "full-recall snapshot")
+                    help="write the int8 zoo artifact on a full-recall "
+                         "snapshot")
     args = ap.parse_args()
 
     res = args.res
@@ -81,7 +89,8 @@ def main():
     imgs = (fx["pre_imgs"].astype(np.float32)[..., None] - 128.0) / 255.0
     golden = fx["boxes"]
     n = len(golden)
-    folded = fold_batchnorm(load_variables(zoo_path(res)))
+    target = args.target or n
+    folded = fold_batchnorm(load_variables(args.weights or zoo_path(res)))
     scales = make_scales(folded, imgs, args.scales)
     x = jnp.asarray(imgs)
 
@@ -131,15 +140,15 @@ def main():
         (f"step{(i + 1) * args.snap}", s) for i, s in enumerate(snaps)]
     for tag, tree in candidates:
         s = score(tree, f"qat-{args.scales}-cw{args.conf_weight}-{tag}")
-        if s == n:
-            print(f"[{res}] FULL RECALL at {tag}", flush=True)
+        if s >= target:
+            print(f"[{res}] TARGET RECALL ({target}/{n}) at {tag}", flush=True)
             if args.ship:
-                out = os.path.join(REPO, "weights",
-                                   f"yolofastest_int8_{res}.npz")
+                out = args.out or os.path.join(
+                    REPO, "weights", f"yolofastest_int8_{res}.npz")
                 save_int8_zoo(jax.device_get(tree), scales, out)
                 print("shipped", out, flush=True)
             return
-    print(f"[{res}] no full-recall snapshot found", flush=True)
+    print(f"[{res}] no snapshot reached {target}/{n}", flush=True)
 
 
 if __name__ == "__main__":
