@@ -115,8 +115,12 @@ def run_resolution(res, out_dir):
 
         folded_p = jax.tree.map(
             jnp.asarray, fold_batchnorm(load_variables(pruned_path)))
-        backends["pruned040-bf16"] = jax.jit(
-            lambda x: post(folded_apply(folded_p, x, jnp.bfloat16)))
+        # weights as jit ARGUMENTS, matching bench.py's measurement path:
+        # closed-over weights get constant-folded with different bf16
+        # rounding than the runtime f32->bf16 convert and flip one
+        # borderline detection (measured round 4)
+        fn_p = jax.jit(lambda f, x: post(folded_apply(f, x, jnp.bfloat16)))
+        backends["pruned040-bf16"] = lambda x: fn_p(folded_p, x)
 
     results = {}
     x = jnp.asarray(imgs)
