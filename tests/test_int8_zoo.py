@@ -44,6 +44,40 @@ def _recall(det, golden):
     return m
 
 
+def test_cli_int8_zoo_flag(tmp_path):
+    """`detect --backend native-int8 --int8-zoo` deploys the shipped
+    artifact without any calibration data; misuse fails loud."""
+    from yolofastest_tpu.cli import main
+    from yolofastest_tpu.quant import load_int8_zoo
+
+    if load_int8_zoo("256x320") is None:
+        pytest.skip("int8 zoo artifact not present")
+    if not os.path.exists(os.path.join(REPO, "cpp", "build", "libyf.so")):
+        pytest.skip("native library not built")
+    data = os.path.join(REPO, "tests", "fixtures")  # no .jpg here; use ref
+    ref = "/root/reference/test_data"
+    if not os.path.isdir(ref):
+        pytest.skip("reference test data not mounted")
+    out = str(tmp_path / "out")
+    rc = main(["detect", "--config", "256x320", "--weights",
+               os.path.join(REPO, "weights", "yolofastest_256x320.npz"),
+               "--data", ref, "--out", out,
+               "--backend", "native-int8", "--int8-zoo"])
+    assert rc == 0
+    assert any(f.startswith("result_") for f in os.listdir(out))
+
+    # wrong backend and missing artifact both fail loud
+    rc = main(["detect", "--config", "256x320", "--weights",
+               os.path.join(REPO, "weights", "yolofastest_256x320.npz"),
+               "--data", ref, "--out", out, "--int8-zoo"])
+    assert rc == 2
+    rc = main(["detect", "--config", "256x320", "--weights",
+               os.path.join(REPO, "weights", "yolofastest_256x320.npz"),
+               "--data", ref, "--out", out, "--backend", "native-int8",
+               "--int8-zoo", str(tmp_path / "nope.npz")])
+    assert rc == 2
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("res", ["256x320", "512x640"])
 def test_int8_zoo_full_recall_all_backends(res):

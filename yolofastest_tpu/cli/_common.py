@@ -179,10 +179,33 @@ def _parse_keep_fp(args, backend) -> tuple:
     return keep
 
 
+def _resolve_int8_zoo(args, backend):
+    """``--int8-zoo [PATH]`` -> artifact path (or None when unused).
+    'auto' (the bare flag) resolves the shipped artifact for --config.
+    Returns the sentinel string "error" after a printed message."""
+    want = getattr(args, "int8_zoo", None)
+    if not want:
+        return None
+    if backend not in ("int8", "int8-fused", "native-int8"):
+        print("--int8-zoo applies to the int8 backends only",
+              file=sys.stderr)
+        return "error"
+    from yolofastest_tpu.quant import int8_zoo_path, load_int8_zoo
+
+    path = int8_zoo_path(args.config) if want == "auto" else want
+    if load_int8_zoo(path) is None:
+        print(f"--int8-zoo: artifact not found: {path}", file=sys.stderr)
+        return "error"
+    return path
+
+
 def _build_engine(args, cfg, backend, calib_data):
     """Deployment engine for serve/eval: a ``Detector`` (jax fp/int8
     pipelines) or a ``NativeEngine`` (C++ fp32/int8-VNNI).  Returns ``None``
     after a printed message on error."""
+    zoo8 = _resolve_int8_zoo(args, backend)
+    if zoo8 == "error":
+        return None
     if backend in ("native", "native-int8"):
         if getattr(args, "tta", False):
             print("--tta runs the flip pass on device; it applies to the "
@@ -202,11 +225,15 @@ def _build_engine(args, cfg, backend, calib_data):
         with tempfile.TemporaryDirectory(prefix="yf_engine_") as td:
             yfb = os.path.join(td, "model.yfb")
             if backend == "native-int8":
-                from yolofastest_tpu.quant import quantize_weights
+                from yolofastest_tpu.quant import load_int8_zoo, quantize_weights
 
-                scales = _native_int8_scales(args, cfg, folded, calib_data)
-                if scales is None:
-                    return None
+                if zoo8:
+                    # shipped artifact: refined weights + frozen scales
+                    folded, scales = load_int8_zoo(zoo8)
+                else:
+                    scales = _native_int8_scales(args, cfg, folded, calib_data)
+                    if scales is None:
+                        return None
                 save_native_weights(quantize_weights(folded), yfb,
                                     act_scales=scales)
             else:
@@ -220,7 +247,7 @@ def _build_engine(args, cfg, backend, calib_data):
         return None
     calibration = None
     cache = None
-    if backend in ("int8", "int8-fused"):
+    if backend in ("int8", "int8-fused") and not zoo8:
         resolved = _resolve_jax_int8_calibration(args, cfg, calib_data)
         if resolved is None:
             return None
@@ -233,7 +260,7 @@ def _build_engine(args, cfg, backend, calib_data):
                     arch=args.arch, tta=getattr(args, "tta", False),
                     calib_method=ck["method"],
                     calib_percentile=ck["percentile"],
-                    keep_fp=keep_fp)
+                    keep_fp=keep_fp, int8_artifact=zoo8)
 
 
 def _add_calib_method_flags(p) -> None:

@@ -14,6 +14,7 @@ from yolofastest_tpu.cli._common import (
     _load_weights,
     _calib_kwargs,
     _resolve_jax_int8_calibration,
+    _resolve_int8_zoo,
     _native_int8_scales,
     _parse_keep_fp,
 )
@@ -27,6 +28,9 @@ def cmd_detect(args) -> int:
     logger = config_logger(args.out, "detect_info.log")
     os.makedirs(args.out, exist_ok=True)
 
+    zoo8 = _resolve_int8_zoo(args, "fp" if args.backend == "jax" else args.backend)
+    if zoo8 == "error":
+        return 2
     if args.backend in ("native", "native-int8"):
         if getattr(args, "tta", False):
             print("--tta runs the flip pass on device; it applies to the "
@@ -53,11 +57,14 @@ def cmd_detect(args) -> int:
             # scales from the shared calibration cache (calibrated on the
             # first target images on a cache miss — the same
             # static-quantisation recipe as the jax int8 backends)
-            from yolofastest_tpu.quant import quantize_weights
+            from yolofastest_tpu.quant import load_int8_zoo, quantize_weights
 
-            scales = _native_int8_scales(args, cfg, folded, args.data)
-            if scales is None:
-                return 2
+            if zoo8:
+                folded, scales = load_int8_zoo(zoo8)
+            else:
+                scales = _native_int8_scales(args, cfg, folded, args.data)
+                if scales is None:
+                    return 2
             save_native_weights(quantize_weights(folded), yfb,
                                 act_scales=scales)
         else:
@@ -96,7 +103,7 @@ def cmd_detect(args) -> int:
         return 2
     calibration = None
     cache = None
-    if backend in ("int8", "int8-fused"):
+    if backend in ("int8", "int8-fused") and not zoo8:
         # Calibration scales are cached next to the weights; recomputed from
         # the first few target images only when no cache exists yet.
         resolved = _resolve_jax_int8_calibration(args, cfg, args.data)
@@ -111,7 +118,7 @@ def cmd_detect(args) -> int:
                         arch=args.arch, tta=getattr(args, "tta", False),
                         calib_method=ck["method"],
                         calib_percentile=ck["percentile"],
-                        keep_fp=keep_fp)
+                        keep_fp=keep_fp, int8_artifact=zoo8)
     if getattr(args, "sliced", None):
         return _sliced_detect_dir(args, cfg, detector, logger)
     detector.batch_detect(args.data, args.out, batch_size=args.batch)

@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--slice-overlap", type=float, default=0.2,
                    help="fraction of tile extent shared by neighbouring "
                         "tiles (default 0.2)")
+    d.add_argument("--int8-zoo", nargs="?", const="auto", default=None,
+                   metavar="PATH",
+                   help="deploy the SHIPPED int8 artifact (refined weights + "
+                        "frozen scales, full golden recall on every int8 "
+                        "backend) instead of calibrating; bare flag resolves "
+                        "weights/yolofastest_int8_<config>.npz")
     d.add_argument("--keep-fp", default=None, metavar="L1,L2,...",
                    help="mixed precision for --backend int8: these folded-"
                         "graph layers run the fp kernel (pick them with the "
@@ -266,6 +272,12 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--calibration-cache", default=None,
                    help="JSON file for int8 activation scales (default: "
                         "<weights>.calib.json)")
+    e.add_argument("--int8-zoo", nargs="?", const="auto", default=None,
+                   metavar="PATH",
+                   help="deploy the SHIPPED int8 artifact (refined weights + "
+                        "frozen scales, full golden recall on every int8 "
+                        "backend) instead of calibrating; bare flag resolves "
+                        "weights/yolofastest_int8_<config>.npz")
     e.add_argument("--keep-fp", default=None, metavar="L1,L2,...",
                    help="mixed precision for --backend int8: these folded-"
                         "graph layers run the fp kernel (pick them with the "

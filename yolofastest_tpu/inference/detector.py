@@ -82,7 +82,22 @@ class Detector:
         calib_method: str = "amax",
         calib_percentile: float = 99.99,
         keep_fp: Sequence[str] = (),
+        int8_artifact: Optional[str] = None,
     ):
+        if int8_artifact is not None:
+            # Shipped int8 zoo artifact (quant/zoo.py): refined folded
+            # weights + frozen scales replace the fold+calibrate path below
+            # — the full-recall deployment config, CLI `--int8-zoo`.
+            if backend not in ("int8", "int8-fused"):
+                raise ValueError("int8_artifact needs an int8 backend")
+            if keep_fp:
+                raise ValueError("int8_artifact and keep_fp are exclusive "
+                                 "(the artifact IS the deployment config)")
+            from yolofastest_tpu.quant import load_int8_zoo
+
+            zoo8 = load_int8_zoo(int8_artifact)
+            if zoo8 is None:
+                raise ValueError(f"int8 artifact not found: {int8_artifact}")
         if variables is None:
             if torch_checkpoint is None:
                 raise ValueError("need variables or torch_checkpoint")
@@ -122,12 +137,16 @@ class Detector:
                 quantized_apply_fused,
             )
 
-            folded = fold_batchnorm(jax.device_get(self.variables))
-            scales = self._load_or_calibrate(
-                folded, calibration, calibration_cache,
-                functools.partial(calibrate, arch=arch, method=calib_method,
-                                  percentile=calib_percentile),
-            )
+            if int8_artifact is not None:
+                folded, scales = zoo8
+            else:
+                folded = fold_batchnorm(jax.device_get(self.variables))
+                scales = self._load_or_calibrate(
+                    folded, calibration, calibration_cache,
+                    functools.partial(calibrate, arch=arch,
+                                      method=calib_method,
+                                      percentile=calib_percentile),
+                )
             qparams = jax.tree.map(jnp.asarray, quantize_weights(folded))
             self.act_scales = scales
             if keep_fp:
