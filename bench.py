@@ -341,7 +341,7 @@ def main():
             for attempt in range(1, 4):
                 _, _, b_pre, _ = measure_bound()
                 stream_ips = measure_stream(best_depth)
-                _, _, b_post, _ = measure_bound()
+                h2d_post, d2h_post, b_post, bound_term = measure_bound()
                 pair_bound = max(b_pre, b_post)
                 ratio = stream_ips / pair_bound
                 print(f"pair attempt {attempt}: stream {stream_ips:,.0f} vs "
@@ -349,7 +349,11 @@ def main():
                       f"-> {ratio:.3f}", file=sys.stderr)
                 if ratio <= 1.02:
                     break
-            best_ov = max(best_ov, stream_ips)
+            # ONE coherent phase in the JSON: bandwidths, bound and stream
+            # all from the accepted pair (not the early standalone probe)
+            extras["h2d_gbps"] = round(h2d_post, 2)
+            extras["d2h_gbps"] = round(d2h_post, 2)
+            extras["serving_bound_term"] = bound_term
             extras["serving_bound_img_s"] = round(pair_bound, 1)
             extras["e2e_stream_overlapped_img_s"] = round(stream_ips, 1)
             extras["e2e_stream_vs_bound"] = round(ratio, 3)

@@ -326,8 +326,11 @@ def run(nodes, init, feeds):
         elif op == "LessOrEqual":
             y = a[0] <= a[1]
         elif op == "ReduceSum":
-            y = a[0].sum(axis=tuple(attrs["axes"]),
-                         keepdims=bool(attrs.get("keepdims", 1)))
+            # opset 13 form: axes as second input; attribute form accepted
+            # for older producers
+            axes = tuple(int(d) for d in a[1]) if len(a) > 1 \
+                else tuple(attrs["axes"])
+            y = a[0].sum(axis=axes, keepdims=bool(attrs.get("keepdims", 1)))
         elif op == "ReduceMin":
             y = a[0].min(axis=tuple(attrs["axes"]),
                          keepdims=bool(attrs.get("keepdims", 1)))
@@ -335,7 +338,7 @@ def run(nodes, init, feeds):
             y = _pool(a[0], attrs["kernel_shape"], attrs["strides"],
                       attrs.get("pads", [0, 0, 0, 0]), avg=op == "AveragePool")
         elif op == "Cast":
-            y = a[0].astype({1: np.float32, 7: np.int64,
+            y = a[0].astype({1: np.float32, 6: np.int32, 7: np.int64,
                              9: np.bool_}[attrs["to"]])
         elif op == "NonMaxSuppression":
             # the threshold inputs are rank-1 single-element tensors in our

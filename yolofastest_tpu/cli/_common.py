@@ -190,13 +190,13 @@ def _resolve_int8_zoo(args, backend):
         print("--int8-zoo applies to the int8 backends only",
               file=sys.stderr)
         return "error"
-    from yolofastest_tpu.quant import int8_zoo_path, load_int8_zoo
+    from yolofastest_tpu.quant import int8_zoo_path
 
     path = int8_zoo_path(args.config) if want == "auto" else want
-    if load_int8_zoo(path) is None:
+    if not os.path.exists(path):
         print(f"--int8-zoo: artifact not found: {path}", file=sys.stderr)
         return "error"
-    return path
+    return path  # consumers load it (and fail loud on a malformed file)
 
 
 def _build_engine(args, cfg, backend, calib_data):

@@ -49,7 +49,9 @@ def cmd_detect(args) -> int:
         from yolofastest_tpu.native import NativeEngine
         from yolofastest_tpu.utils.visualize import CLASS_COLORS, plot_one_box
 
-        folded = fold_batchnorm(
+        # with --int8-zoo the artifact supplies the (refined) folded tree;
+        # folding --weights would be discarded work
+        folded = None if zoo8 else fold_batchnorm(
             _load_weights(args.weights, getattr(args, "arch", None)))
         yfb = os.path.join(args.out, "model.yfb")
         if args.backend == "native-int8":

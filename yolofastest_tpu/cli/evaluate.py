@@ -18,7 +18,7 @@ from yolofastest_tpu.cli._common import (
 
 
 def cmd_eval(args) -> int:
-    from yolofastest_tpu.data import DetectionLoader, VOCIndex
+    from yolofastest_tpu.data import DetectionLoader
     from yolofastest_tpu.eval import MAPEvaluator
     from yolofastest_tpu.utils.logging import config_logger
 
@@ -57,6 +57,10 @@ def cmd_eval(args) -> int:
     if backend == "train" and getattr(args, "tta", False):
         print("--tta scores the DEPLOYED pipeline; pick a deployment "
               "backend (e.g. --backend fp)", file=sys.stderr)
+        return 2
+    if backend == "train" and getattr(args, "int8_zoo", None):
+        print("--int8-zoo scores the SHIPPED int8 deployment; pick an int8 "
+              "backend (e.g. --backend int8)", file=sys.stderr)
         return 2
     if backend == "train":
         # Reference-parity path: the training-loop evaluator (float boxes,

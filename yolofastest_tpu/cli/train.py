@@ -19,7 +19,7 @@ from yolofastest_tpu.cli._common import (
 def cmd_train(args) -> int:
     import dataclasses
 
-    from yolofastest_tpu.data import DetectionLoader, VOCIndex
+    from yolofastest_tpu.data import DetectionLoader
     from yolofastest_tpu.eval import MAPEvaluator
     from yolofastest_tpu.train import Trainer
     from yolofastest_tpu.utils.logging import config_logger

@@ -220,6 +220,11 @@ class _Lowerer:
         (a,) = (self.read(v) for v in e.invars)
         out_shape = [int(d) for d in e.params["shape"]]
         bdims = [int(d) for d in e.params["broadcast_dimensions"]]
+        if bdims != sorted(bdims):
+            # non-monotonic dims are semantically a transpose+broadcast;
+            # Reshape+Expand would return silently wrong values
+            raise NotImplementedError(
+                "broadcast_in_dim with unsorted broadcast_dimensions")
         interim = [1] * len(out_shape)
         for src, dst in enumerate(bdims):
             interim[dst] = int(e.invars[0].aval.shape[src])
@@ -249,6 +254,13 @@ class _Lowerer:
     def _reduce(self, e, op):
         (a,) = (self.read(v) for v in e.invars)
         axes = [int(d) for d in e.params["axes"]]
+        if op == "ReduceSum":
+            # ReduceSum-13 takes axes as an INPUT (Max/Min keep the
+            # attribute form until opset 18)
+            self.write(e.outvars[0], self.g.emit(
+                op, [a, self.g.const_i64(axes, "axes")],
+                attrs=[_attr_int("keepdims", 0)])[0])
+            return
         self.write(e.outvars[0], self.g.emit(op, [a], attrs=[
             _attr_ints("axes", axes), _attr_int("keepdims", 0)])[0])
 
