@@ -92,7 +92,7 @@ def main():
             scales = calibrate(folded, [cal], **kw)
             fn = jax.jit(lambda x, s=scales: post(quantized_apply(qparams, s, x)))
             det = jax.tree.map(np.asarray, fn(x))
-            m, n = recall(det, golden, verbose=(m_first := True))
+            m, n = recall(det, golden, verbose=True)
             print(f"[{res}] {name}: {m}/{n}")
 
 
