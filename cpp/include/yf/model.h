@@ -60,6 +60,9 @@ class YoloFastestNet {
 
   bool is_lite() const { return is_lite_; }
 
+  // Loaded tensor map (for read_run_meta and introspection).
+  const Weights& weights() const { return w_; }
+
   // Number of layers executing with int8 arithmetic (0 = pure fp32).
   int int8_layer_count() const { return (int)(int8_.size() + int8_3x3_.size()); }
 

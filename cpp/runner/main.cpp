@@ -3,7 +3,17 @@
 // results, print per-image and average timing in the reference's log format
 // so logs diff directly against the committed test_result fixtures.
 //
+// Unlike the reference driver, which re-declares anchors/thresholds/shapes
+// as C++ literals (ncnn_deploy/main.cpp:16-24 — the duplication hazard
+// SURVEY §5 calls out), ALL run configuration here comes from the .yfb
+// itself: save_native_weights(..., io_config=cfg.io) embeds anchors, conf/
+// NMS thresholds, class names and input resolution as __meta__ entries, so
+// a custom auto-anchor export decodes natively with its own anchors.
+// Decode strides are derived per head from the feature-map shape
+// (stride = in_h / head.h), never hard-coded.
+//
 // Usage: yf_runner <weights.yfb> <data_dir> <result_dir> [in_h in_w]
+//        (in_h/in_w default to the embedded input resolution)
 
 #include <chrono>
 #include <cstdio>
@@ -23,11 +33,6 @@ double now_ms() {
       .count();
 }
 
-// Anchor presets from the framework config (configs/config.py): groups 0-1
-// for 256x320 inputs, groups 1-2 for 512x640.
-const float kAnchors256[12] = {10, 13, 16, 30, 33, 23, 150, 75, 100, 100, 75, 150};
-const float kAnchors512[12] = {150, 75, 100, 100, 75, 150, 300, 150, 200, 200, 150, 300};
-
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -37,18 +42,33 @@ int main(int argc, char** argv) {
     return 1;
   }
   const std::string weights = argv[1], data_dir = argv[2], result_dir = argv[3];
-  const int in_h = argc > 4 ? std::atoi(argv[4]) : 256;
-  const int in_w = argc > 5 ? std::atoi(argv[5]) : 320;
-  const float* anchors = (in_h >= 512) ? kAnchors512 : kAnchors256;
-  const float conf_thre = 0.5f, nms_thre = 0.2f;
-  const int num_cls = 3;
-  const char* cls_names[3] = {"carrier", "defender", "destroyer"};
 
   yf::YoloFastestNet net(weights);
+  const yf::RunMeta meta = yf::read_run_meta(net.weights());
+  if (!meta.present) {
+    std::fprintf(stderr,
+                 "%s carries no __meta__ run config (anchors/thresholds); "
+                 "re-export it with the current exporter "
+                 "(save_native_weights(..., io_config=cfg.io))\n",
+                 weights.c_str());
+    return 1;
+  }
+  const int in_h = argc > 4 ? std::atoi(argv[4]) : meta.input_h;
+  const int in_w = argc > 5 ? std::atoi(argv[5]) : meta.input_w;
+  if (in_h <= 0 || in_w <= 0) {
+    std::fprintf(stderr, "no input resolution in meta or argv\n");
+    return 1;
+  }
+  const int num_cls = (int)meta.class_names.size();
 
   std::vector<cv::String> files;
   cv::glob(data_dir + "/*.jpg", files);
   double avg = 0.0;
+  // Machine-readable twin of the drawn results: one row per detection in
+  // net-input coordinates, for automated parity checks against the JAX
+  // backend (the reference's correctness check was eyeballing result JPEGs;
+  // SURVEY §4 asks for numeric assertions instead).
+  FILE* boxes_txt = std::fopen((result_dir + "/boxes.txt").c_str(), "w");
   for (const auto& f : files) {
     cv::Mat ori = cv::imread(f);
     if (ori.empty()) continue;
@@ -68,9 +88,18 @@ int main(int argc, char** argv) {
     const double t1 = now_ms();
 
     std::vector<yf::BBox> boxes;
-    yf::decode_head(heads[0], anchors, 3, num_cls, 16, 16, conf_thre, boxes);
-    yf::decode_head(heads[1], anchors + 6, 3, num_cls, 32, 32, conf_thre, boxes);
-    yf::nms_per_class(boxes, num_cls, nms_thre);
+    // Pair anchor groups with the heads actually produced, in emission
+    // order (lite emits head_small only; its single anchor group is the
+    // coarse one).  Strides come from the feature-map shapes.
+    int group = 0;
+    for (const yf::Tensor& head : heads) {
+      if (!head.size() || group >= meta.num_scales) continue;
+      yf::decode_head(head, meta.anchors.data() + group * meta.num_anchors * 2,
+                      meta.num_anchors, num_cls, (float)in_h / head.h,
+                      (float)in_w / head.w, meta.conf_thre, boxes);
+      ++group;
+    }
+    yf::nms_per_class(boxes, num_cls, meta.nms_thre);
     const double t2 = now_ms();
 
     const float sw = (float)ori.cols / in_w, sh = (float)ori.rows / in_h;
@@ -79,18 +108,24 @@ int main(int argc, char** argv) {
                     cv::Point((int)(b.x2 * sw), (int)(b.y2 * sh)),
                     cv::Scalar(0, 255, 0), 2);
       char label[64];
-      std::snprintf(label, sizeof(label), "%s %.2f", cls_names[b.cls],
-                    b.conf * b.cls_score);
+      std::snprintf(label, sizeof(label), "%s %.2f",
+                    meta.class_names[b.cls].c_str(), b.conf * b.cls_score);
       cv::putText(ori, label, cv::Point((int)(b.x1 * sw), (int)(b.y1 * sh) - 4),
                   0, 0.5, cv::Scalar(0, 255, 0), 1);
     }
     std::string name = f.substr(f.find_last_of('/') + 1);
+    if (boxes_txt)
+      for (const auto& b : boxes)
+        std::fprintf(boxes_txt, "%s %.2f %.2f %.2f %.2f %.6f %.6f %d\n",
+                     name.c_str(), b.x1, b.y1, b.x2, b.y2, b.conf,
+                     b.cls_score, b.cls);
     cv::imwrite(result_dir + "/result_" + name, ori);
     const double total = t2 - t0;
     avg += total;
     std::printf("image_name:%s -> infer time:%.2fms, post_process time:%.2fms, total time:%.2fms\n",
                 name.c_str(), t1 - t0, t2 - t1, total);
   }
+  if (boxes_txt) std::fclose(boxes_txt);
   if (!files.empty())
     std::printf("avg_time:%.2fms\n", avg / files.size());
   return 0;

@@ -68,12 +68,16 @@ int yf_detect(void* h, const float* img, int in_h, int in_w,
     net->forward(x, heads[0], heads[1]);
 
     std::vector<yf::BBox> boxes;
-    const int strides[2] = {16, 32};
-    const int base = net->is_lite() ? 1 : 0;  // lite emits heads[1] only
-    for (int s = 0; s + base < 2 && s < num_scales; ++s) {
-      yf::decode_head(heads[s + base], anchors + s * num_anchors * 2,
-                      num_anchors, num_cls, (float)strides[s + base],
-                      (float)strides[s + base], conf_thre, boxes);
+    // Anchor groups pair with the heads actually produced, in emission
+    // order (lite emits heads[1] only).  Strides derive from the feature
+    // map shapes so decode survives topology/stride variants.
+    int group = 0;
+    for (const yf::Tensor& head : heads) {
+      if (!head.size() || group >= num_scales) continue;
+      yf::decode_head(head, anchors + group * num_anchors * 2, num_anchors,
+                      num_cls, (float)in_h / head.h, (float)in_w / head.w,
+                      conf_thre, boxes);
+      ++group;
     }
     yf::nms_per_class(boxes, num_cls, nms_thre);
 

@@ -87,4 +87,47 @@ Weights load_weights(const std::string& path) {
   return out;
 }
 
+RunMeta read_run_meta(const Weights& w) {
+  RunMeta m;
+  const auto a = w.find("__meta__/anchors");
+  if (a == w.end()) return m;  // weights-only file
+  const NamedTensor& an = a->second;
+  if (an.shape.size() != 3 || an.shape[2] != 2 || !an.is_f32 ||
+      an.shape[0] == 0 || an.shape[1] == 0)
+    throw std::runtime_error("yfb meta: anchors must be f32 (scales, A, 2)");
+  m.present = true;
+  m.num_scales = (int)an.shape[0];
+  m.num_anchors = (int)an.shape[1];
+  m.anchors = an.f32;
+  const auto cn = w.find("__meta__/conf_nms");
+  if (cn != w.end()) {
+    if (cn->second.f32.size() != 2)
+      throw std::runtime_error("yfb meta: conf_nms must hold 2 floats");
+    m.conf_thre = cn->second.f32[0];
+    m.nms_thre = cn->second.f32[1];
+  }
+  const auto hw = w.find("__meta__/input_hw");
+  if (hw != w.end()) {
+    if (hw->second.f32.size() != 2)
+      throw std::runtime_error("yfb meta: input_hw must hold 2 floats");
+    m.input_h = (int)hw->second.f32[0];
+    m.input_w = (int)hw->second.f32[1];
+  }
+  const auto names = w.find("__meta__/class_names");
+  if (names != w.end()) {
+    std::string joined(names->second.i8.begin(), names->second.i8.end());
+    size_t start = 0;
+    while (start <= joined.size()) {
+      size_t nl = joined.find('\n', start);
+      if (nl == std::string::npos) {
+        m.class_names.push_back(joined.substr(start));
+        break;
+      }
+      m.class_names.push_back(joined.substr(start, nl - start));
+      start = nl + 1;
+    }
+  }
+  return m;
+}
+
 }  // namespace yf

@@ -141,3 +141,37 @@ def test_unsupported_primitive_fails_loud(tmp_path):
     x = jnp.zeros((4, 3), jnp.float32)
     with pytest.raises(NotImplementedError, match="cumsum|cum"):
         export_jax_onnx(fn, (x,), str(tmp_path / "bad.onnx"))
+
+
+def test_non_f32_io_and_consts_fail_loud(tmp_path):
+    """The graph carries f32 tensors only; int inputs and non-f32-exact
+    captured constants must raise instead of exporting wrong types
+    (ADVICE round-4)."""
+    xi = jnp.zeros((4,), jnp.int32)
+    with pytest.raises(NotImplementedError, match="float32 inputs"):
+        export_jax_onnx(lambda x: x.astype(jnp.float32),
+                        (xi,), str(tmp_path / "bad_in.onnx"))
+
+    with pytest.raises(NotImplementedError, match="float32 outputs"):
+        export_jax_onnx(lambda x: x.astype(jnp.int32),
+                        (jnp.zeros((4,), jnp.float32),),
+                        str(tmp_path / "bad_out.onnx"))
+
+    # captured int32 constant that is NOT exactly f32-representable
+    big = jnp.asarray(np.asarray([2**31 - 1], np.int32))
+
+    def bad_const(x):
+        return (x.astype(jnp.int32) + big).astype(jnp.float32)
+
+    with pytest.raises(NotImplementedError, match="not exactly"):
+        export_jax_onnx(bad_const, (jnp.zeros((1,), jnp.float32),),
+                        str(tmp_path / "bad_const.onnx"))
+
+    # an exactly-representable int constant still exports fine
+    small = np.asarray([1, 2, 3], np.int64)
+
+    def fn(x):
+        return x + jnp.asarray(small, jnp.float32)
+
+    export_jax_onnx(fn, (jnp.zeros((3,), jnp.float32),),
+                    str(tmp_path / "ok.onnx"))

@@ -112,3 +112,55 @@ def test_strict_coco_options_validated():
     with pytest.raises(ValueError, match="ap_interpolation"):
         MAPEvaluator(cfg, None, eval_fn=lambda *a: None,
                      ap_interpolation="bogus")
+
+
+def test_strict_boundary_semantics_vs_default():
+    """pycocotools boundary cases (ADVICE round-4): in strict mode IOU
+    exactly equal to the threshold matches, and an exact-IOU tie keeps the
+    LAST equal GT; the default evaluator keeps strict-> / first-max.
+
+    Geometry: det1 = GT_A ∪ GT_B (IOU exactly 0.5 with both), det2 = GT_B
+    exactly.  conf(det1) > conf(det2).
+
+      * default:  det1 FP (0.5 > 0.5 fails), det2 TP on B     -> AP 0.25
+      * strict:   det1 TP on B (last tie), det2 FP (B used)   -> AP 0.50
+      * a wrong 'first-max' strict impl would give 2 TPs      -> AP 1.00
+    """
+    cfg = get_config("256x320")
+    h, w = cfg.io.input_hw
+
+    def norm_row(x1, y1, x2, y2, cls):
+        return [(x1 + x2) / 2 / w, (y1 + y2) / 2 / h,
+                (x2 - x1) / w, (y2 - y1) / h, cls, 255.0]
+
+    targets = np.asarray([[norm_row(0, 0, 10, 10, 0),      # GT A
+                           norm_row(0, 10, 10, 20, 0)]],   # GT B
+                         np.float32)
+
+    det = {
+        "boxes": np.asarray([[[0, 0, 10, 20], [0, 10, 10, 20]]], np.float64),
+        "conf": np.asarray([[0.9, 0.8]], np.float64),
+        "cls_idx": np.zeros((1, 2), np.int32),
+        "count": np.asarray([2], np.int32),
+    }
+
+    class _Loader:
+        batch_size = 1
+
+        def __iter__(self):
+            yield np.zeros((1, h, w, 1), np.float32), targets
+
+    def run(**kw):
+        ev = MAPEvaluator(cfg, _Loader(), eval_fn=lambda *_: det,
+                          iou_thresholds=(0.5,), **kw)
+        ev(None, epoch=0)
+        return ev.last_metrics["per_class_ap"][0]
+
+    # strict: det1 claims the LAST tied GT (B) at IOU == threshold, det2
+    # finds B used -> exactly one TP, ranked first -> AP 0.5.  A first-max
+    # implementation would let det2 still take B -> AP 1.0; a strict-'>'
+    # implementation would drop det1 -> AP 0.25.
+    np.testing.assert_allclose(run(iou_convention="coco"), 0.5)
+    # default mode is untouched by the strict fix (its +1px IOUs lift det1
+    # above the gate; first-max gives A to det1, B to det2 -> AP 1.0)
+    np.testing.assert_allclose(run(), 1.0)

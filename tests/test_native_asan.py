@@ -30,8 +30,10 @@ def test_native_engine_clean_under_asan(tmp_path):
 
     if not os.path.exists(zoo_path("256x320")):
         pytest.skip("zoo weights not present")
+    from yolofastest_tpu.configs import get_config
     yfb = str(tmp_path / "model.yfb")
-    save_native_weights(fold_batchnorm(load_variables(zoo_path("256x320"))), yfb)
+    save_native_weights(fold_batchnorm(load_variables(zoo_path("256x320"))), yfb,
+                        io_config=get_config("256x320").io)
 
     out = tmp_path / "out"
     out.mkdir()
@@ -68,9 +70,11 @@ def test_native_int8_engine_clean_under_asan(tmp_path):
     fx = np.load(os.path.join(FIXTURES, "golden_256x320.npz"))
     imgs = (fx["pre_imgs"].astype(np.float32)[..., None] - 128.0) / 255.0
     folded = fold_batchnorm(load_variables(zoo_path("256x320")))
+    from yolofastest_tpu.configs import get_config
     yfb = str(tmp_path / "model_int8.yfb")
     save_native_weights(quantize_weights(folded), yfb,
-                        act_scales=calibrate(folded, [imgs[:4]]))
+                        act_scales=calibrate(folded, [imgs[:4]]),
+                        io_config=get_config("256x320").io)
 
     out = tmp_path / "out"
     out.mkdir()

@@ -147,7 +147,7 @@ def run_resolution(res, out_dir):
         from yolofastest_tpu.native import NativeEngine
 
         yfb = os.path.join(out_dir, f"model_{res}.yfb")
-        save_native_weights(folded, yfb)
+        save_native_weights(folded, yfb, io_config=cfg.io)
         eng = NativeEngine(yfb, cfg)
         matched = 0
         best_total = float("inf")
@@ -179,7 +179,7 @@ def run_resolution(res, out_dir):
         native_scales = (scales if zoo8 is not None
                          else calibrate(folded, [imgs]))
         save_native_weights(quantize_weights(int8_folded), yfb8,
-                            act_scales=native_scales)
+                            act_scales=native_scales, io_config=cfg.io)
         eng8 = NativeEngine(yfb8, cfg)
         matched8 = 0
         best_total8 = float("inf")

@@ -176,6 +176,12 @@ def _parse_keep_fp(args, backend) -> tuple:
         print("--keep-fp (mixed precision) applies to --backend int8 only",
               file=sys.stderr)
         return None
+    if keep and getattr(args, "int8_zoo", None):
+        # the shipped artifact IS the deployment config (refined weights +
+        # frozen scales); splicing fp layers into it is undefined
+        print("--keep-fp and --int8-zoo are exclusive (the zoo artifact "
+              "already fixes the per-layer deployment)", file=sys.stderr)
+        return None
     return keep
 
 
@@ -235,9 +241,9 @@ def _build_engine(args, cfg, backend, calib_data):
                     if scales is None:
                         return None
                 save_native_weights(quantize_weights(folded), yfb,
-                                    act_scales=scales)
+                                    act_scales=scales, io_config=cfg.io)
             else:
-                save_native_weights(folded, yfb)
+                save_native_weights(folded, yfb, io_config=cfg.io)
             return NativeEngine(yfb, cfg)
 
     from yolofastest_tpu.inference import Detector

@@ -68,9 +68,9 @@ def cmd_detect(args) -> int:
                 if scales is None:
                     return 2
             save_native_weights(quantize_weights(folded), yfb,
-                                act_scales=scales)
+                                act_scales=scales, io_config=cfg.io)
         else:
-            save_native_weights(folded, yfb)
+            save_native_weights(folded, yfb, io_config=cfg.io)
         eng = NativeEngine(yfb, cfg)
         io = cfg.io
         names = sorted(f for f in os.listdir(args.data) if f.lower().endswith(".jpg"))

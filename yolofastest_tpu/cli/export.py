@@ -65,13 +65,14 @@ def cmd_export(args) -> int:
             print("QAT distillation: loss %.3e -> %.3e (best of %d steps)"
                   % (hist[0], min(hist), len(hist)))
 
-    save_native_weights(folded, os.path.join(args.out, "model.yfb"))
+    save_native_weights(folded, os.path.join(args.out, "model.yfb"),
+                        io_config=cfg.io)
     print("wrote", os.path.join(args.out, "model.yfb"))
     # with --calib-data, the int8 .yfb also carries activation scales, so
     # the C++ engine runs real int8 arithmetic on it (cpp/src/ops_int8.cpp)
     qparams = quantize_weights(int8_src)
     save_native_weights(qparams, os.path.join(args.out, "model_int8.yfb"),
-                        act_scales=act_scales)
+                        act_scales=act_scales, io_config=cfg.io)
     print("wrote", os.path.join(args.out, "model_int8.yfb"))
 
     graph_arch = "yolofastest" if arch == "fastest" else "yolofastest-lite"

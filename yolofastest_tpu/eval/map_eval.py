@@ -30,7 +30,11 @@ standard IOU (no +1px) and AP the 101-point recall-sampled interpolation —
 pycocotools' exact conventions, cross-validated against a vendored
 reimplementation of its evaluateImg/accumulate algorithm
 (``tools/cocoeval_ref.py``; fixture test ``tests/test_map_cocoeval.py``).
-Default stays the reference's conventions so historical numbers don't move.
+Strict mode also mirrors pycocotools' boundary cases: IOU exactly equal to
+the threshold matches (``>=``), and an exact-IOU tie keeps the LAST equal
+GT (evaluateImg keeps overwriting ``m`` on ``ious >= iou``); the default
+mode keeps strict-``>`` and first-max.  Default stays the reference's
+conventions so historical numbers don't move.
 """
 
 from __future__ import annotations
@@ -61,29 +65,42 @@ COCO_SIZE_RANGES = (
 )
 
 
+def _argmax_last(a: np.ndarray) -> np.ndarray:
+    """Row-wise argmax that returns the LAST maximal column (pycocotools'
+    evaluateImg keeps updating ``m`` on equal IOU, so the last equal-IOU GT
+    wins; plain ``argmax`` keeps the first)."""
+    return a.shape[1] - 1 - a[:, ::-1].argmax(axis=1)
+
+
 def _match_with_ignores(iou_mat: np.ndarray, ts: np.ndarray,
-                        gt_ig: np.ndarray, det_out: np.ndarray):
+                        gt_ig: np.ndarray, det_out: np.ndarray,
+                        strict: bool = False):
     """Greedy matching with cocoeval's ignore semantics, vectorised across
     IOU thresholds (`cocoeval.py evaluateImg`): each detection (conf order)
     takes the best-IOU unmatched GT above threshold, preferring non-ignored
     GT; a det that only reaches an ignored GT — or stays unmatched with its
     own box outside the size range (``det_out``) — is *ignored*, not a FP.
-    ``iou_mat`` is the (D, G) class-masked matrix.  Returns ``(tp, ig)``
-    both (D, T) bool."""
+    ``iou_mat`` is the (D, G) class-masked matrix.  ``strict`` applies
+    pycocotools' exact boundary semantics (IOU == threshold matches; ties
+    keep the LAST equal-IOU GT); default keeps this evaluator's historical
+    strict-> and first-max conventions.  Returns ``(tp, ig)`` both (D, T)
+    bool."""
     n_det, n_gt = iou_mat.shape
     n_t = len(ts)
     tp = np.zeros((n_det, n_t), bool)
     ig = np.zeros((n_det, n_t), bool)
     used = np.zeros((n_t, n_gt), bool)
     t_idx = np.arange(n_t)
+    amax = _argmax_last if strict else (lambda a: a.argmax(axis=1))
+    above = (lambda v: v >= ts) if strict else (lambda v: v > ts)
     for i in range(n_det):
         rows = np.where(used, -1.0, iou_mat[i][None, :])  # (T, G)
         reg = np.where(gt_ig[None, :], -1.0, rows)
-        j_reg = reg.argmax(axis=1) if n_gt else np.zeros(n_t, int)
-        hit_reg = reg[t_idx, j_reg] > ts if n_gt else np.zeros(n_t, bool)
+        j_reg = amax(reg) if n_gt else np.zeros(n_t, int)
+        hit_reg = above(reg[t_idx, j_reg]) if n_gt else np.zeros(n_t, bool)
         ign = np.where(gt_ig[None, :], rows, -1.0)
-        j_ig = ign.argmax(axis=1) if n_gt else np.zeros(n_t, int)
-        hit_ig = ign[t_idx, j_ig] > ts if n_gt else np.zeros(n_t, bool)
+        j_ig = amax(ign) if n_gt else np.zeros(n_t, int)
+        hit_ig = above(ign[t_idx, j_ig]) if n_gt else np.zeros(n_t, bool)
         j = np.where(hit_reg, j_reg, j_ig)
         matched = hit_reg | hit_ig
         used[matched, j[matched]] = True
@@ -280,6 +297,9 @@ class MAPEvaluator:
             raise ValueError(f"unknown ap_interpolation {ap_interpolation!r}")
         self._iou_matrix = _IOU_MATRICES[iou_convention]
         self._ap = _AP_FNS[ap_interpolation]
+        # strict pycocotools matching boundaries (>= threshold, last-max
+        # tie-break) ride with the standard-IOU convention
+        self._strict = iou_convention == "coco"
         # Matching thresholds.  Default: the reference's single
         # ``iou_val_thre`` (mAP@0.5, validate.py:62).  Pass the COCO grid
         # (``COCO_IOU_GRID``) for mAP@[.50:.95] — threshold [0] stays the
@@ -315,6 +335,7 @@ class MAPEvaluator:
         self._ensure_eval_fn(variables)
         io = self.config.io
         ts = np.asarray(self.iou_thresholds, np.float64)  # (T,) thresholds
+        strict = self._strict
         n_t = len(ts)
         num_cls = io.num_cls
         h, w = io.input_hw
@@ -415,8 +436,14 @@ class MAPEvaluator:
                 rank = np.zeros(num_cls, np.int64) if coco else None
                 for i in range(n_det):
                     rows = np.where(used, -1.0, iou_mat[i][None, :])  # (T, G)
-                    j = rows.argmax(axis=1)  # best unmatched GT (divergence, see module doc)
-                    hit = rows[t_idx, j] > ts
+                    if strict:
+                        # pycocotools boundary semantics: IOU == threshold
+                        # matches; exact ties keep the LAST equal-IOU GT
+                        j = _argmax_last(rows)
+                        hit = rows[t_idx, j] >= ts
+                    else:
+                        j = rows.argmax(axis=1)  # best unmatched GT (divergence, see module doc)
+                        hit = rows[t_idx, j] > ts
                     used[hit, j[hit]] = True
                     matches[cls_det[i]].append((float(conf_det[i]), hit))
                     if coco:
@@ -434,7 +461,7 @@ class MAPEvaluator:
                         gt_ig = ~((gt_area >= amin) & (gt_area < amax))
                         det_out = ~((det_area >= amin) & (det_area < amax))
                         tp_r, ig_r = _match_with_ignores(
-                            iou_mat, ts, gt_ig, det_out)
+                            iou_mat, ts, gt_ig, det_out, strict=strict)
                         for i in range(n_det):
                             range_matches[r][cls_det[i]].append(
                                 (float(conf_det[i]), tp_r[i], ig_r[i]))

@@ -8,7 +8,9 @@ from yolofastest_tpu.export.stablehlo import (
 )
 from yolofastest_tpu.export.caffe import export_caffe
 from yolofastest_tpu.export.generic_onnx import export_jax_onnx
-from yolofastest_tpu.export.native import load_native_weights, save_native_weights
+from yolofastest_tpu.export.native import (load_native_weights,
+                                            read_native_meta,
+                                            save_native_weights)
 from yolofastest_tpu.export.ncnn import (export_ncnn, export_ncnn_table,
                                           import_ncnn)
 from yolofastest_tpu.export.onnx import (export_onnx, export_onnx_detect,
@@ -34,5 +36,6 @@ __all__ = [
     "save_exported",
     "save_exported_mlir",
     "load_native_weights",
+    "read_native_meta",
     "save_native_weights",
 ]

@@ -91,7 +91,15 @@ class _Lowerer:
             val = np.asarray(var.val)
             if val.dtype == np.bool_:
                 raise NotImplementedError("bool literals unsupported")
-            return self.g.const(val.astype(np.float32), "lit")
+            # fail-loud contract: the graph carries f32 tensors, so a
+            # literal that is not exactly representable in f32 (large i64,
+            # f64 precision) must not silently round
+            f32 = val.astype(np.float32)
+            if not np.array_equal(f32.astype(val.dtype), val):
+                raise NotImplementedError(
+                    f"literal of dtype {val.dtype} not exactly f32-"
+                    f"representable (value {val!r})")
+            return self.g.const(f32, "lit")
         return self.env[var]
 
     def write(self, var, name: str) -> None:
@@ -380,10 +388,31 @@ def export_jax_onnx(fn, example_args, path: str,
                          "the traced function's inputs")
     in_names = list(input_names or
                     [f"input_{i}" for i in range(len(jaxpr.invars))])
+    # Graph inputs/outputs and initializers are declared FLOAT; anything
+    # that cannot be carried exactly as f32 is a loud error, not a silent
+    # cast (the module's fail-loud contract).
+    for name, v in zip(in_names, jaxpr.invars):
+        if v.aval.dtype != np.float32:
+            raise NotImplementedError(
+                f"graph input {name!r} has dtype {v.aval.dtype}; only "
+                "float32 inputs are supported (cast before tracing)")
+    for i, v in enumerate(jaxpr.outvars):
+        if v.aval.dtype != np.float32:
+            raise NotImplementedError(
+                f"graph output {i} has dtype {v.aval.dtype}; only float32 "
+                "outputs are supported (cast inside the function)")
     for v, c in zip(jaxpr.constvars, closed.consts):
         arr = np.asarray(c)
         if arr.dtype != np.float32:
-            arr = arr.astype(np.float32)
+            f32 = arr.astype(np.float32)
+            with np.errstate(over="ignore", invalid="ignore"):
+                exact = (arr.dtype != np.bool_
+                         and np.array_equal(f32.astype(arr.dtype), arr))
+            if not exact:
+                raise NotImplementedError(
+                    f"captured constant of dtype {arr.dtype} not exactly "
+                    "f32-representable; cast it explicitly before tracing")
+            arr = f32
         wname = g.name("w")
         g.initializers.append(_tensor(wname, arr))
         lw.write(v, wname)
