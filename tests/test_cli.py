@@ -157,3 +157,47 @@ def test_cli_rejects_arch_config_mismatch(tmp_path):
         main(["detect", "--config", "lite-256x320",
               "--weights", "nonexistent.npz",
               "--data", str(tmp_path), "--out", str(tmp_path)])
+
+
+def test_txt2xml_ref_dump_dialect(tmp_path):
+    """The reference's bespoke punctuated annotation dump
+    (utils/txt2xml.py:53-60): 3 header lines, then rows whose tokens after
+    the punctuation->space mapping are [_, name, ymin, xmin, ymax, xmax]
+    in absolute pixels.  Auto-detected per file; mixed directories work."""
+    import cv2
+
+    src = tmp_path / "src"
+    src.mkdir()
+    img = np.zeros((100, 200, 3), np.uint8)
+    cv2.imwrite(str(src / "ref.jpg"), img)
+    (src / "ref.txt").write_text(
+        "header line 1\nheader 2\nheader 3\n"
+        "0 carrier{30,80,70,120}\n"        # ymin,xmin,ymax,xmax
+        "1 destroyer{10,20,20,40}\n"
+    )
+    # a standard-YOLO file in the same directory (auto per-file detection)
+    cv2.imwrite(str(src / "std.jpg"), img)
+    (src / "std.txt").write_text("1 0.25 0.25 0.1 0.1\n")
+
+    rc = main(["txt2xml", "--src", str(src), "--dst", str(tmp_path / "voc")])
+    assert rc == 0
+
+    from yolofastest_tpu.data import VOCIndex
+
+    idx = VOCIndex(str(tmp_path / "voc"), ("carrier", "defender", "destroyer"))
+    assert len(idx) == 2
+    by_name = {os.path.basename(idx.items[i][0]): idx[i][1]
+               for i in range(len(idx))}
+    ref = by_name["ref.jpg"]
+    assert ref.shape == (2, 5)
+    np.testing.assert_allclose(ref[0], [0, 80, 30, 120, 70], atol=0.5)
+    np.testing.assert_allclose(ref[1], [2, 20, 10, 40, 20], atol=0.5)
+    assert by_name["std.jpg"].shape == (1, 5)
+
+    # malformed ref-dump rows fail loud with file:line
+    (src / "bad.txt").write_text("h\nh\nh\n0 carrier{30,80}\n")
+    cv2.imwrite(str(src / "bad.jpg"), img)
+    from yolofastest_tpu.data.txt2xml import convert_txt_dataset
+
+    with pytest.raises(ValueError, match="bad.txt:4"):
+        convert_txt_dataset(str(src), str(tmp_path / "voc2"))

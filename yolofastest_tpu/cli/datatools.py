@@ -25,7 +25,9 @@ def cmd_voc2coco(args) -> int:
 def cmd_txt2xml(args) -> int:
     from yolofastest_tpu.data.txt2xml import convert_txt_dataset
 
-    n = convert_txt_dataset(args.src, args.dst, class_id_base=args.class_id_base)
+    n = convert_txt_dataset(args.src, args.dst,
+                            class_id_base=args.class_id_base,
+                            dialect=args.dialect)
     print(f"converted {n} label files -> {args.dst}")
     return 0
 

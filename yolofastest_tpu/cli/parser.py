@@ -409,6 +409,11 @@ def build_parser() -> argparse.ArgumentParser:
     tx.add_argument("--src", required=True)
     tx.add_argument("--dst", required=True)
     tx.add_argument("--class-id-base", type=int, default=0)
+    tx.add_argument("--dialect", default="auto",
+                    choices=["auto", "yolo", "ref-dump"],
+                    help="input txt flavor: standard YOLO rows or the "
+                         "reference's punctuated pixel dump "
+                         "(utils/txt2xml.py:53-60); auto detects per file")
     tx.set_defaults(fn=cmd_txt2xml)
 
     an = sub.add_parser("anchors",
