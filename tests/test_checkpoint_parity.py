@@ -14,6 +14,8 @@ import pytest
 
 import jax
 
+pytestmark = pytest.mark.gate
+
 REF_PTH = {
     "256x320": "/root/reference/models/pytorch/256x320/YOLO-Fastest_epoch_28.pth",
     "512x640": "/root/reference/models/pytorch/512x640/YOLO-Fastest_epoch_27.pth",

@@ -2,6 +2,9 @@
 
 
 from yolofastest_tpu.configs import Config, get_config
+import pytest
+
+pytestmark = pytest.mark.gate
 
 
 def test_config_json_roundtrip():

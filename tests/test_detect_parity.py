@@ -128,6 +128,7 @@ def test_detect_parity_folded_graph():
 
 
 @pytest.mark.parametrize("res", ["256x320", "512x640"])
+@pytest.mark.gate
 def test_detect_parity(res):
     if not os.path.exists(REF_PTH[res]):
         pytest.skip("reference checkpoint not mounted")

@@ -30,6 +30,7 @@ def setup():
     return variables, fx
 
 
+@pytest.mark.gate
 def test_native_weights_roundtrip(tmp_path, setup):
     variables, _ = setup
     folded = fold_batchnorm(variables)
@@ -92,6 +93,7 @@ def test_stablehlo_detect_pipeline_roundtrip(tmp_path, setup):
     _match_golden_exact(det, golden, 4)
 
 
+@pytest.mark.gate
 def test_stablehlo_consumed_by_fresh_process(tmp_path, setup):
     """The external-runtime story: a process that imports ONLY jax.export +
     numpy (no flax, no yolofastest_tpu, no configs) loads detect.stablehlo

@@ -61,6 +61,7 @@ def _export(folded, hw, tmp_path, arch):
     return p, c
 
 
+@pytest.mark.gate
 def test_caffe_full_arch_roundtrip(tmp_path):
     """Two-head graph (covers Deconvolution + Concat + Eltwise) at tiny
     size, random init, vs the folded JAX forward."""

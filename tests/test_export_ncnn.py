@@ -96,6 +96,7 @@ def test_ncnn_consumer_runs_reference_artifact_512(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.gate
 def test_ncnn_roundtrip_zoo(tmp_path):
     """Our export -> fresh-process consumer -> folded JAX graph parity, and
     the emitted layer-type sequence equals the reference's ncnnoptimize

@@ -50,6 +50,7 @@ def _consume(model_path, imgs_nchw, tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.gate
 def test_onnx_consumed_by_numpy_only_process(tmp_path):
     """External-runtime story: parse the .onnx with a from-scratch protobuf
     decoder, execute in numpy, match the committed reference logits."""

@@ -60,6 +60,7 @@ def test_torch_module_matches_jax_folded(setup):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.gate
 def test_torchscript_consumed_by_torch_only_process(tmp_path, setup):
     """External-runtime story: load the .pt with nothing but torch, feed the
     golden preprocessed images, match the committed reference logits."""

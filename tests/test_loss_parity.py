@@ -15,6 +15,8 @@ import pytest
 from yolofastest_tpu.configs import get_config
 from yolofastest_tpu.losses import decode_for_eval, total_loss, yolo_loss
 
+pytestmark = pytest.mark.gate
+
 FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
 
 

@@ -13,6 +13,7 @@ from yolofastest_tpu.models.yolo_fastest import count_params
 
 
 @pytest.mark.parametrize("hw", [(256, 320), (512, 640)])
+@pytest.mark.gate
 def test_yolofastest_shapes(hw):
     h, w = hw
     model = YoloFastest(num_cls=3, num_anchors=3)
@@ -23,6 +24,7 @@ def test_yolofastest_shapes(hw):
     assert head_small.shape == (2, h // 32, w // 32, 24)
 
 
+@pytest.mark.gate
 def test_param_count_matches_reference_checkpoint():
     # The converted reference checkpoint has exactly this many parameters;
     # any architecture drift changes the count.

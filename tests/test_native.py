@@ -97,6 +97,7 @@ def _box_iou(a, b):
     return inter / max(ua, 1e-9)
 
 
+@pytest.mark.gate
 def test_native_detections_match_golden(engine):
     """C++ engine + C++ postprocess must reproduce the reference's golden
     detections on the bundled test set (same boxes +-1px, same class)."""

@@ -36,6 +36,7 @@ def _custom_cfg():
     return dataclasses.replace(cfg, io=dataclasses.replace(cfg.io, anchors=anchors))
 
 
+@pytest.mark.gate
 def test_meta_roundtrip(tmp_path):
     cfg = get_config("512x640")
     if not os.path.exists(zoo_path("512x640")):

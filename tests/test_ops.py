@@ -17,6 +17,8 @@ from yolofastest_tpu.ops import (
     xyxy2xywh,
 )
 
+pytestmark = pytest.mark.gate
+
 
 def _naive_iou(b1, b2):
     """detect.py:28-39 semantics (no +1, no clamp-to-zero-then-multiply)."""

@@ -141,6 +141,11 @@ def cmd_export(args) -> int:
     exp = export_detect_pipeline(variables, cfg, batch=args.batch, arch=arch)
     save_exported(exp, os.path.join(args.out, "detect.stablehlo"))
     print("wrote", os.path.join(args.out, "detect.stablehlo"))
+    # textual twin of the FULL pipeline for the native consumer: yf_shlo
+    # runs preprocess+forward+decode+NMS from this artifact with no
+    # Python/XLA in the process
+    save_exported_mlir(exp, os.path.join(args.out, "detect.mlir"))
+    print("wrote", os.path.join(args.out, "detect.mlir"))
 
     if cal is not None:
         # int8_src/act_scales carry the QAT refinement when --qat-steps ran
