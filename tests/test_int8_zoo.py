@@ -84,7 +84,7 @@ def test_int8_zoo_full_recall_all_backends(res):
     zoo = load_int8_zoo(res)
     if zoo is None:
         pytest.skip(f"int8 zoo artifact for {res} not present")
-    folded, scales = zoo
+    folded, scales, keep_fp = zoo
     cfg = get_config(res)
     io = cfg.io
     fx = np.load(os.path.join(FIXTURES, f"golden_{res}.npz"))

@@ -56,3 +56,54 @@ def test_streaming_fold_bn_matches_flax_graph():
                                fold_bn=True)(frames))[0]
     np.testing.assert_array_equal(a["count"], b["count"])
     np.testing.assert_allclose(a["boxes"], b["boxes"], atol=1.0)
+
+
+def test_streaming_threaded_matches_sync():
+    """The threaded-uploader mode (device_put + dispatch on a worker) must
+    yield identical detections in order — only scheduling differs."""
+    import numpy as np
+
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.inference import StreamingDetector
+    from yolofastest_tpu.models import load_variables, zoo_path
+    import os
+    import pytest
+
+    if not os.path.exists(zoo_path("256x320")):
+        pytest.skip("zoo weights not present")
+    cfg = get_config("256x320")
+    variables = load_variables(zoo_path("256x320"))
+    rng = np.random.default_rng(0)
+    batches = [rng.integers(0, 256, (2, 256, 320), np.uint8)
+               for _ in range(5)]
+    sd = StreamingDetector(cfg, variables, fold_bn=True, depth=3)
+    sync = list(sd(iter(batches)))
+    sd.threaded = True
+    thr = list(sd(iter(batches)))
+    assert len(sync) == len(thr) == 5
+    for a, b in zip(sync, thr):
+        np.testing.assert_array_equal(a["count"], b["count"])
+        np.testing.assert_allclose(a["boxes"], b["boxes"])
+
+
+def test_streaming_threaded_propagates_errors():
+    import numpy as np
+    import os
+    import pytest
+
+    from yolofastest_tpu.configs import get_config
+    from yolofastest_tpu.inference import StreamingDetector
+    from yolofastest_tpu.models import load_variables, zoo_path
+
+    if not os.path.exists(zoo_path("256x320")):
+        pytest.skip("zoo weights not present")
+    cfg = get_config("256x320")
+    sd = StreamingDetector(cfg, load_variables(zoo_path("256x320")),
+                           fold_bn=True, depth=2, threaded=True)
+
+    def bad_stream():
+        yield np.zeros((2, 256, 320), np.uint8)
+        raise RuntimeError("source died")
+
+    with pytest.raises(RuntimeError, match="source died"):
+        list(sd(bad_stream()))

@@ -75,14 +75,28 @@ def run_resolution(res, out_dir):
     from yolofastest_tpu.quant import load_int8_zoo
 
     zoo8 = load_int8_zoo(res)
+    keep_fp8 = ()
     if zoo8 is not None:
-        int8_folded, scales = zoo8
+        int8_folded, scales, keep_fp8 = zoo8
         int8_src = f"weights/yolofastest_int8_{res}.npz"
     else:
         int8_folded = folded
         scales = calibrate(folded, [imgs[:8]])
         int8_src = "on-the-fly amax-8 PTQ"
     qparams = jax.tree.map(jnp.asarray, quantize_weights(int8_folded))
+
+    fp8_sub = jax.tree.map(jnp.asarray,
+                           {k: int8_folded[k] for k in keep_fp8})
+
+    def _apply_int8(x, fused):
+        if keep_fp8:
+            from yolofastest_tpu.quant.sensitivity import (
+                quantized_apply_fused_mixed, quantized_apply_mixed)
+
+            fn = quantized_apply_fused_mixed if fused else quantized_apply_mixed
+            return fn(qparams, fp8_sub, scales, x, fp_layers=keep_fp8)
+        fn = quantized_apply_fused if fused else quantized_apply
+        return fn(qparams, scales, x)
 
     def post(heads):
         b, c, s, ci, v = decode_heads(heads, io.anchors, io.input_hw,
@@ -102,8 +116,10 @@ def run_resolution(res, out_dir):
     backends = {
         "jax-fp32": make_jax(jnp.float32),
         "jax-bf16": make_jax(jnp.bfloat16),
-        "int8": jax.jit(lambda x: post(quantized_apply(qparams, scales, x))),
-        "int8-fused": jax.jit(lambda x: post(quantized_apply_fused(qparams, scales, x))),
+        # artifacts may carry a hybrid keep-fp set (pruned checkpoints);
+        # all rows deploy it so recall numbers describe ONE config
+        "int8": jax.jit(lambda x: post(_apply_int8(x, fused=False))),
+        "int8-fused": jax.jit(lambda x: post(_apply_int8(x, fused=True))),
     }
 
     # eval-grade pruned checkpoint (docs/train_demo_prune040): same pipeline,
@@ -176,10 +192,14 @@ def run_resolution(res, out_dir):
         # native C++ engine, int8 arithmetic (VNNI dpbusd on the 1x1 convs):
         # the same shipped artifact/scales as the jax int8 rows above
         yfb8 = os.path.join(out_dir, f"model_{res}_int8.yfb")
+        from yolofastest_tpu.quant import mixed_native_tree
+
         native_scales = (scales if zoo8 is not None
                          else calibrate(folded, [imgs]))
-        save_native_weights(quantize_weights(int8_folded), yfb8,
-                            act_scales=native_scales, io_config=cfg.io)
+        ntree, nscales = mixed_native_tree(int8_folded, native_scales,
+                                           keep_fp8)
+        save_native_weights(ntree, yfb8, act_scales=nscales,
+                            io_config=cfg.io)
         eng8 = NativeEngine(yfb8, cfg)
         matched8 = 0
         best_total8 = float("inf")

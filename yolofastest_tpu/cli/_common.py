@@ -172,9 +172,9 @@ def _parse_keep_fp(args, backend) -> tuple:
     printed message when the flag is set on a backend that can't mix."""
     keep = tuple(s for s in (getattr(args, "keep_fp", None) or "").split(",")
                  if s)
-    if keep and backend != "int8":
-        print("--keep-fp (mixed precision) applies to --backend int8 only",
-              file=sys.stderr)
+    if keep and backend not in ("int8", "int8-fused"):
+        print("--keep-fp (mixed precision) applies to the int8 backends "
+              "(int8 / int8-fused) only", file=sys.stderr)
         return None
     if keep and getattr(args, "int8_zoo", None):
         # the shipped artifact IS the deployment config (refined weights +
@@ -231,17 +231,21 @@ def _build_engine(args, cfg, backend, calib_data):
         with tempfile.TemporaryDirectory(prefix="yf_engine_") as td:
             yfb = os.path.join(td, "model.yfb")
             if backend == "native-int8":
-                from yolofastest_tpu.quant import load_int8_zoo, quantize_weights
+                from yolofastest_tpu.quant import (load_int8_zoo,
+                                                   mixed_native_tree)
 
+                keep_fp8 = ()
                 if zoo8:
                     # shipped artifact: refined weights + frozen scales
-                    folded, scales = load_int8_zoo(zoo8)
+                    # (+ its hybrid keep-fp set, if any)
+                    folded, scales, keep_fp8 = load_int8_zoo(zoo8)
                 else:
                     scales = _native_int8_scales(args, cfg, folded, calib_data)
                     if scales is None:
                         return None
-                save_native_weights(quantize_weights(folded), yfb,
-                                    act_scales=scales, io_config=cfg.io)
+                tree, nscales = mixed_native_tree(folded, scales, keep_fp8)
+                save_native_weights(tree, yfb, act_scales=nscales,
+                                    io_config=cfg.io)
             else:
                 save_native_weights(folded, yfb, io_config=cfg.io)
             return NativeEngine(yfb, cfg)

@@ -59,16 +59,18 @@ def cmd_detect(args) -> int:
             # scales from the shared calibration cache (calibrated on the
             # first target images on a cache miss — the same
             # static-quantisation recipe as the jax int8 backends)
-            from yolofastest_tpu.quant import load_int8_zoo, quantize_weights
+            from yolofastest_tpu.quant import load_int8_zoo, mixed_native_tree
 
+            keep_fp8 = ()
             if zoo8:
-                folded, scales = load_int8_zoo(zoo8)
+                folded, scales, keep_fp8 = load_int8_zoo(zoo8)
             else:
                 scales = _native_int8_scales(args, cfg, folded, args.data)
                 if scales is None:
                     return 2
-            save_native_weights(quantize_weights(folded), yfb,
-                                act_scales=scales, io_config=cfg.io)
+            tree, nscales = mixed_native_tree(folded, scales, keep_fp8)
+            save_native_weights(tree, yfb, act_scales=nscales,
+                                io_config=cfg.io)
         else:
             save_native_weights(folded, yfb, io_config=cfg.io)
         eng = NativeEngine(yfb, cfg)

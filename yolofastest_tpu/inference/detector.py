@@ -54,7 +54,7 @@ class Detector:
         (see :func:`yolofastest_tpu.quant.calibrate`); ignored on a
         calibration-cache hit (the cache already holds final scales).
       calib_percentile: percentile for ``calib_method='percentile'``.
-      keep_fp: for ``backend='int8'`` — folded-graph layer names that run
+      keep_fp: for the int8 backends — folded-graph layer names that run
         the fp kernel instead of int8 (mixed precision; pick them with
         :func:`yolofastest_tpu.quant.layer_sensitivity` / the
         ``sensitivity`` CLI).
@@ -104,11 +104,10 @@ class Detector:
             variables = load_torch_checkpoint(torch_checkpoint)
         if backend not in ("fp", "int8", "int8-fused"):
             raise ValueError(f"unknown backend {backend!r}")
-        if keep_fp and backend != "int8":
+        if keep_fp and backend not in ("int8", "int8-fused"):
             raise ValueError(
-                "keep_fp (mixed precision) applies to backend='int8' only; "
-                "the fused executor carries int8 tensors between layers and "
-                "cannot splice fp layers in")
+                "keep_fp (mixed precision) applies to the int8 backends "
+                "(int8 / int8-fused) only")
         if arch not in ("fastest", "lite"):
             raise ValueError(f"unknown arch {arch!r}")
         self.config = config
@@ -138,7 +137,9 @@ class Detector:
             )
 
             if int8_artifact is not None:
-                folded, scales = zoo8
+                # the artifact defines the whole deployment, including its
+                # hybrid (keep-fp) layer set
+                folded, scales, keep_fp = zoo8
             else:
                 folded = fold_batchnorm(jax.device_get(self.variables))
                 scales = self._load_or_calibrate(
@@ -155,6 +156,7 @@ class Detector:
                 # analogue — see quant/sensitivity.py for the sweep that
                 # picks them).
                 from yolofastest_tpu.quant.sensitivity import (
+                    quantized_apply_fused_mixed,
                     quantized_apply_mixed,
                 )
 
@@ -166,9 +168,12 @@ class Detector:
                 fp_sub = jax.tree.map(
                     jnp.asarray, {k: folded[k] for k in keep_fp})
                 self.variables = {"q": qparams, "fp": fp_sub}
+                apply_mixed = (quantized_apply_fused_mixed
+                               if backend == "int8-fused"
+                               else quantized_apply_mixed)
 
                 def _apply(variables, images):
-                    return _as_heads(quantized_apply_mixed(
+                    return _as_heads(apply_mixed(
                         variables["q"], variables["fp"], scales, images,
                         fp_layers=keep_fp, arch=arch))
             else:

@@ -56,7 +56,8 @@ class StreamingDetector:
 
     def __init__(self, config: Config, variables: Dict[str, Any],
                  compute_dtype=jnp.bfloat16, fold_bn: bool = False,
-                 arch: str = "fastest", depth: int = 2):
+                 arch: str = "fastest", depth: int = 2,
+                 threaded: bool = False):
         io = config.io
         if arch not in ("fastest", "lite"):
             raise ValueError(f"unknown arch {arch!r}")
@@ -64,6 +65,12 @@ class StreamingDetector:
             raise ValueError("depth must be >= 1")
         self.config = config
         self.depth = depth
+        #: issue H2D + dispatch from a worker thread so upload RPCs truly
+        #: ride under the main thread's result fetches — through a remote
+        #: runtime whose device_put blocks until the data lands, the
+        #: single-threaded loop serialises H2D with D2H and depth buys
+        #: nothing (measured round 4: depth 4 lost to depth 1)
+        self.threaded = threaded
         if fold_bn:
             from yolofastest_tpu.models import (fold_batchnorm, folded_apply,
                                                 folded_apply_lite)
@@ -97,6 +104,9 @@ class StreamingDetector:
         self._pipeline = pipeline
 
     def __call__(self, frame_batches: Iterable[np.ndarray]) -> Iterator[Dict[str, np.ndarray]]:
+        if self.threaded and self.depth > 1:
+            yield from self._call_threaded(frame_batches)
+            return
         inflight: deque = deque()
         for frames in frame_batches:
             dev = jax.device_put(frames)  # async H2D, ahead of consumption
@@ -106,3 +116,38 @@ class StreamingDetector:
                 yield unpack_detections(np.asarray(inflight.popleft()))
         while inflight:
             yield unpack_detections(np.asarray(inflight.popleft()))
+
+    def _call_threaded(self, frame_batches):
+        """Uploader-thread variant: device_put + dispatch run on a worker
+        while the main thread fetches results, so H2D and D2H round-trips
+        overlap even when each transfer call blocks.  The bounded queue
+        keeps at most ``depth`` batches in flight (backpressure)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        sentinel = object()
+        err = []
+
+        def uploader():
+            try:
+                for frames in frame_batches:
+                    dev = jax.device_put(frames)
+                    q.put(self._pipeline(self.variables, dev))
+            except BaseException as e:  # re-raised on the consumer side
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=uploader, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield unpack_detections(np.asarray(item))
+        finally:
+            t.join()
+        if err:
+            raise err[0]

@@ -9,7 +9,8 @@ from yolofastest_tpu.quant.sensitivity import (
     layer_sensitivity,
     quantized_apply_mixed,
 )
-from yolofastest_tpu.quant.zoo import int8_zoo_path, load_int8_zoo, save_int8_zoo
+from yolofastest_tpu.quant.zoo import (int8_zoo_path, load_int8_zoo,
+                                       mixed_native_tree, save_int8_zoo)
 from yolofastest_tpu.quant.qat import (
     FakeQuantExecutor,
     fake_quant_act,
@@ -33,5 +34,6 @@ __all__ = [
     "qat_finetune",
     "int8_zoo_path",
     "load_int8_zoo",
+    "mixed_native_tree",
     "save_int8_zoo",
 ]

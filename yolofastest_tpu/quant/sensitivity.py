@@ -100,6 +100,139 @@ def quantized_apply_mixed(qparams, folded, act_scales, x,
     return _WALKS[arch](x, ex)
 
 
+class _MixedFusedExecutor(Executor):
+    """Mixed precision for the FUSED int8 pipeline: activations stay int8
+    between layers, but ``fp_layers`` run their conv with the FULL-precision
+    folded kernel (input dequantised, output requantised at the calibrated
+    ``out/<name>`` scale).  This removes a sensitive layer's *weight-grid*
+    damage while keeping the carried-int8 deployment shape — the fused
+    analogue of RKNN hybrid quantization."""
+
+    def __init__(self, qparams, folded, act_scales, fp_layers,
+                 out_dtype=jnp.float32):
+        from yolofastest_tpu.quant.ptq import Int8FusedExecutor, _Q, _requant
+
+        self._q = Int8FusedExecutor(qparams, act_scales, out_dtype)
+        self._folded = folded
+        self._fp = FoldedExecutor(folded, jnp.float32)
+        self.fp_layers = frozenset(fp_layers)
+        self._Q = _Q
+        self._requant = _requant
+        self.s = act_scales
+        self.dt = out_dtype
+        # the fused walk's pseudo-op scale counters live on the int8 half
+        self._counters = self._q._counters
+
+    def quantize_input(self, x_f32):
+        return self._q.quantize_input(x_f32)
+
+    def conv(self, x, name, kernel, stride=1, depthwise=False, act=True):
+        if name not in self.fp_layers:
+            return self._q.conv(x, name, kernel, stride, depthwise, act)
+        y = self._fp.conv(x.deq(), name, kernel, stride, depthwise, act)
+        s_out = self.s[f"out/{name}"]
+        return self._Q(self._requant(y, s_out), s_out)
+
+    def deconv2x(self, x, name):
+        if name not in self.fp_layers:
+            return self._q.deconv2x(x, name)
+        y = self._fp.deconv2x(x.deq(), name)
+        s_out = self.s[f"out/{name}"]
+        return self._Q(self._requant(y, s_out), s_out)
+
+    def head(self, x, name):
+        if name not in self.fp_layers:
+            return self._q.head(x, name)
+        return self._fp.head(x.deq(), name).astype(self.dt)
+
+    def add(self, x, y):
+        return self._q.add(x, y)
+
+    def concat(self, x, y):
+        return self._q.concat(x, y)
+
+
+class _DualFusedExecutor(Executor):
+    """Flags twin of :class:`_MixedFusedExecutor`: ``flags[name]`` is a
+    traced boolean (True = int8 kernel), so ONE compiled program scores any
+    keep-fp subset of the fused pipeline — the search tool's workhorse
+    (a per-subset Python rebuild would pay one XLA compile per candidate)."""
+
+    def __init__(self, qparams, folded, act_scales, flags,
+                 out_dtype=jnp.float32):
+        from yolofastest_tpu.quant.ptq import Int8FusedExecutor, _Q, _requant
+
+        self._q = Int8FusedExecutor(qparams, act_scales, out_dtype)
+        self._fp = FoldedExecutor(folded, jnp.float32)
+        self.flags = flags
+        self._Q = _Q
+        self._requant = _requant
+        self.s = act_scales
+        self.dt = out_dtype
+
+    def quantize_input(self, x_f32):
+        return self._q.quantize_input(x_f32)
+
+    def _both(self, name, yq, y_fp):
+        s_out = self.s[f"out/{name}"]
+        yf = self._requant(y_fp, s_out)
+        return self._Q(jnp.where(self.flags[name], yq.q, yf), s_out)
+
+    def conv(self, x, name, kernel, stride=1, depthwise=False, act=True):
+        yq = self._q.conv(x, name, kernel, stride, depthwise, act)
+        yf = self._fp.conv(x.deq(), name, kernel, stride, depthwise, act)
+        return self._both(name, yq, yf)
+
+    def deconv2x(self, x, name):
+        yq = self._q.deconv2x(x, name)
+        yf = self._fp.deconv2x(x.deq(), name)
+        return self._both(name, yq, yf)
+
+    def head(self, x, name):
+        yq = self._q.head(x, name)
+        yf = self._fp.head(x.deq(), name).astype(self.dt)
+        return jnp.where(self.flags[name], yq, yf)
+
+    def add(self, x, y):
+        return self._q.add(x, y)
+
+    def concat(self, x, y):
+        return self._q.concat(x, y)
+
+
+def quantized_apply_fused_flagged(qparams, folded, act_scales, x,
+                                  flags: Dict[str, jax.Array],
+                                  out_dtype=jnp.float32,
+                                  arch: str = "fastest"):
+    """Fused pipeline with per-layer int8/fp chosen by TRACED boolean
+    ``flags`` (True = int8) — one compile serves every subset."""
+    ex = _DualFusedExecutor(qparams, folded, act_scales, flags, out_dtype)
+    return _WALKS[arch](ex.quantize_input(x), ex)
+
+
+def quantized_apply_flagged(qparams, folded, act_scales, x,
+                            flags: Dict[str, jax.Array],
+                            out_dtype=jnp.float32, arch: str = "fastest"):
+    """Per-layer int8 pipeline with traced int8/fp flags (True = int8)."""
+    ex = _DualExecutor(qparams, folded, act_scales, flags, out_dtype)
+    return _WALKS[arch](x, ex)
+
+
+def quantized_apply_fused_mixed(qparams, folded, act_scales, x,
+                                fp_layers: Sequence[str] = (),
+                                out_dtype=jnp.float32, arch: str = "fastest"):
+    """Fused (carried-int8) inference with ``fp_layers`` running their conv
+    at full weight precision.  ``fp_layers=()`` is exactly
+    :func:`yolofastest_tpu.quant.ptq.quantized_apply_fused`."""
+    unknown = set(fp_layers) - set(qparams)
+    if unknown:
+        raise ValueError(f"unknown --keep-fp layer(s): {sorted(unknown)}; "
+                         f"valid names are the folded-graph layers, e.g. "
+                         f"{sorted(qparams)[:4]} ...")
+    ex = _MixedFusedExecutor(qparams, folded, act_scales, fp_layers, out_dtype)
+    return _WALKS[arch](ex.quantize_input(x), ex)
+
+
 def _as_tuple(heads):
     return heads if isinstance(heads, tuple) else (heads,)
 

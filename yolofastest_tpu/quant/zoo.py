@@ -28,6 +28,8 @@ Shipped recipes (round 4; every int8 backend reads full golden recall —
 from __future__ import annotations
 
 import os
+
+import numpy as np
 from typing import Any, Dict, Optional, Tuple
 
 from yolofastest_tpu.models import load_variables, save_variables
@@ -40,17 +42,26 @@ def int8_zoo_path(res: str) -> str:
 
 
 def save_int8_zoo(folded: Dict[str, Any], act_scales: Dict[str, float],
-                  path: str) -> None:
+                  path: str, keep_fp: Tuple[str, ...] = ()) -> None:
+    """``keep_fp`` names folded-graph layers the deployment keeps at FULL
+    precision (hybrid quantization) — part of the artifact because the
+    artifact IS the deployment config: every backend must agree on which
+    layers are fp or golden-recall numbers diverge."""
     import numpy as np
 
-    save_variables({"folded": folded,
-                    "act_scales": {k: np.float64(v)
-                                   for k, v in act_scales.items()}}, path)
+    tree = {"folded": folded,
+            "act_scales": {k: np.float64(v) for k, v in act_scales.items()}}
+    if keep_fp:
+        tree["keep_fp"] = np.asarray(sorted(keep_fp))
+    save_variables(tree, path)
 
 
 def load_int8_zoo(res_or_path: str) -> Optional[Tuple[Dict[str, Any],
-                                                      Dict[str, float]]]:
-    """Returns ``(folded, act_scales)`` or None when the artifact is absent.
+                                                      Dict[str, float],
+                                                      Tuple[str, ...]]]:
+    """Returns ``(folded, act_scales, keep_fp)`` or None when the artifact
+    is absent.  ``keep_fp`` is the artifact's hybrid-quantization layer set
+    (empty for fully-int8 artifacts).
 
     ``act_scales`` values come back as plain floats (what `Int8Executor`,
     `save_native_weights` and the exporters expect)."""
@@ -86,4 +97,29 @@ def load_int8_zoo(res_or_path: str) -> Optional[Tuple[Dict[str, Any],
                 out[key] = v
         return out
 
-    return flat_layers(tree["folded"]), flat_scalars(tree["act_scales"])
+    keep_fp = tuple(str(s) for s in np.asarray(tree.get("keep_fp", ())))
+    return flat_layers(tree["folded"]), flat_scalars(tree["act_scales"]), keep_fp
+
+
+def mixed_native_tree(folded: Dict[str, Any], act_scales: Dict[str, float],
+                      keep_fp: Tuple[str, ...]):
+    """Build the tensor tree + scales for a NATIVE hybrid deployment: layers
+    outside ``keep_fp`` ship quantised (``kernel_q``/``w_scale`` + their
+    activation scale -> int8 arithmetic in the engine); ``keep_fp`` layers
+    ship the fp folded kernel verbatim (the engine runs them fp32).
+    Returns ``(tree, scales)`` for ``save_native_weights``."""
+    from yolofastest_tpu.quant.ptq import quantize_weights
+
+    if not keep_fp:
+        return quantize_weights(folded), dict(act_scales)
+    unknown = set(keep_fp) - set(folded)
+    if unknown:
+        raise ValueError(f"keep_fp layers not in the folded tree: "
+                         f"{sorted(unknown)}")
+    q = quantize_weights({k: v for k, v in folded.items()
+                          if k not in keep_fp})
+    tree = dict(q)
+    for k in keep_fp:
+        tree[k] = folded[k]
+    scales = {k: v for k, v in act_scales.items() if k not in keep_fp}
+    return tree, scales
