@@ -430,14 +430,31 @@ def main():
 
     for b in (1, 8):
         frames_host = rng.integers(0, 256, (b, *io.input_hw), np.uint8)
-        for _ in range(5):  # warmup
-            np.asarray(pipeline_packed(folded, jax.device_put(jnp.asarray(frames_host))))
-        times = []
-        for _ in range(50):
-            t0 = time.perf_counter()
-            np.asarray(pipeline_packed(folded, jax.device_put(jnp.asarray(frames_host))))
-            times.append(time.perf_counter() - t0)
-        p50, p99 = _percentiles(times)
+        # Two dispatch forms: explicit device_put (separate H2D RPC) vs the
+        # numpy arg straight into the jitted call (the runtime can fold the
+        # transfer into the execute round-trip — one fewer tunnel rtt).
+        # Measure both, report the better; through a host-attached TPU they
+        # are identical.
+        variants = {
+            "put": lambda: np.asarray(
+                pipeline_packed(folded, jax.device_put(frames_host))),
+            "arg": lambda: np.asarray(pipeline_packed(folded, frames_host)),
+        }
+        results = {}
+        for vname, call in variants.items():
+            for _ in range(5):  # warmup
+                call()
+            times = []
+            for _ in range(50):
+                t0 = time.perf_counter()
+                call()
+                times.append(time.perf_counter() - t0)
+            results[vname] = _percentiles(times)
+            print(f"latency batch {b} [{vname}]: p50 {results[vname][0]:.2f} "
+                  f"ms", file=sys.stderr)
+        vbest = min(results, key=lambda k: results[k][0])
+        p50, p99 = results[vbest]
+        extras[f"latency_b{b}_dispatch"] = vbest
         extras[f"latency_b{b}_p50_ms"] = round(p50, 2)
         extras[f"latency_b{b}_p99_ms"] = round(p99, 2)
         extras[f"latency_b{b}_p50_ms_per_img"] = round(p50 / b, 2)
@@ -559,6 +576,48 @@ def main():
         extras["throughput_pruned040_img_s"] = round(best_batch / dtp, 1)
         print(f"pruned 0.40 batch {best_batch}: {dtp*1e3:.2f} ms/iter -> "
               f"{best_batch/dtp:,.0f} img/s", file=sys.stderr)
+
+        # pruned HYBRID int8 (the shipped artifact: mse-12 scales + one
+        # keep-fp layer, full recall on every int8 backend) — reported for
+        # completeness of the deployment matrix; on TPU int8 is an
+        # accuracy/artifact-size story, not a speed lever (DESIGN.md)
+        from yolofastest_tpu.quant import load_int8_zoo, quantize_weights
+
+        zoo8p = load_int8_zoo(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "weights",
+            "yolofastest_int8_pruned040_256x320.npz"))
+        if zoo8p is not None:
+            from yolofastest_tpu.quant.sensitivity import (
+                quantized_apply_fused_mixed)
+
+            folded_8p, scales_8p, keep_8p = zoo8p
+            qp_p = jax.tree.map(jnp.asarray, quantize_weights(folded_8p))
+            fp_p = jax.tree.map(jnp.asarray,
+                                {k: folded_8p[k] for k in keep_8p})
+
+            @jax.jit
+            def pipeline_p8(qp, fp, frames):
+                imgs = normalize(frames, jnp.float32)[..., None]
+                heads = quantized_apply_fused_mixed(
+                    qp, fp, scales_8p, imgs, fp_layers=keep_8p)
+                boxes, conf, cls_score, cls_idx, valid = decode_heads(
+                    heads, io.anchors, io.input_hw, io.conf_thre,
+                    io.max_decode)
+                return batched_nms(boxes, conf, cls_score, cls_idx, valid,
+                                   iou_thre=io.nms_thre, max_det=io.max_det,
+                                   packed=True)
+
+            np.asarray(pipeline_p8(qp_p, fp_p, frames_p))  # compile+warm
+            t0 = time.perf_counter()
+            for _ in range(20):
+                out = pipeline_p8(qp_p, fp_p, frames_p)
+            np.asarray(out)
+            dtp8 = (time.perf_counter() - t0) / 20
+            extras["throughput_pruned040_int8_img_s"] = round(
+                best_batch / dtp8, 1)
+            print(f"pruned 0.40 hybrid-int8 batch {best_batch}: "
+                  f"{dtp8*1e3:.2f} ms/iter -> {best_batch/dtp8:,.0f} img/s",
+                  file=sys.stderr)
     except Exception as e:
         print(f"pruned bench failed: {e}", file=sys.stderr)
 

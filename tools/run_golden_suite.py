@@ -138,6 +138,25 @@ def run_resolution(res, out_dir):
         fn_p = jax.jit(lambda f, x: post(folded_apply(f, x, jnp.bfloat16)))
         backends["pruned040-bf16"] = lambda x: fn_p(folded_p, x)
 
+        # pruned int8: the shipped hybrid artifact (mse-12 scales +
+        # keep-fp, round-5 search — pure int8 measured 33/33/34 at best)
+        zoo8p = load_int8_zoo(os.path.join(
+            REPO, "weights", f"yolofastest_int8_pruned040_{res}.npz"))
+        if zoo8p is not None:
+            from yolofastest_tpu.quant.sensitivity import (
+                quantized_apply_fused_mixed, quantized_apply_mixed)
+
+            folded_8p, scales_8p, keep_8p = zoo8p
+            qp_p = jax.tree.map(jnp.asarray, quantize_weights(folded_8p))
+            fp_p = jax.tree.map(jnp.asarray,
+                                {k: folded_8p[k] for k in keep_8p})
+            backends["pruned040-int8"] = jax.jit(
+                lambda x: post(quantized_apply_mixed(
+                    qp_p, fp_p, scales_8p, x, fp_layers=keep_8p)))
+            backends["pruned040-int8-fused"] = jax.jit(
+                lambda x: post(quantized_apply_fused_mixed(
+                    qp_p, fp_p, scales_8p, x, fp_layers=keep_8p)))
+
     results = {}
     x = jnp.asarray(imgs)
     for name, fn in backends.items():
@@ -225,6 +244,42 @@ def run_resolution(res, out_dir):
         }
         print(f"[{res}] native-cpp-int8: recall {matched8}/{len(golden)}, "
               f"{best_total8/len(imgs):.2f} ms/img (single-image)")
+
+        # pruned hybrid int8 through the native engine (same artifact as
+        # the jax pruned040-int8 rows) — the last deployment-matrix cell
+        zoo8p = load_int8_zoo(os.path.join(
+            REPO, "weights", f"yolofastest_int8_pruned040_{res}.npz"))
+        if zoo8p is not None:
+            folded_8p, scales_8p, keep_8p = zoo8p
+            yfb8p = os.path.join(out_dir, f"model_{res}_pruned_int8.yfb")
+            ptree, pscales = mixed_native_tree(folded_8p, scales_8p, keep_8p)
+            save_native_weights(ptree, yfb8p, act_scales=pscales,
+                                io_config=cfg.io)
+            eng8p = NativeEngine(yfb8p, cfg)
+            matched8p = 0
+            best_total8p = float("inf")
+            for rep in range(3):
+                total_ms = 0.0
+                for b in range(len(imgs)):
+                    t0 = time.perf_counter()
+                    rows = eng8p.detect(imgs[b])
+                    total_ms += (time.perf_counter() - t0) * 1e3
+                    if rep == 0:
+                        for w in golden[golden[:, 0] == b]:
+                            matched8p += any(
+                                int(r[6]) == int(w[7])
+                                and iou(r[:4], w[1:5]) > 0.5 for r in rows)
+                best_total8p = min(best_total8p, total_ms)
+            results["pruned040-native-int8"] = {
+                "recall": f"{matched8p}/{len(golden)}",
+                "detection_rate": round(matched8p / len(golden), 4),
+                "ms_per_img": round(best_total8p / len(imgs), 2),
+                "int8_layers": eng8p.int8_layers,
+                "keep_fp": list(keep_8p),
+            }
+            print(f"[{res}] pruned040-native-int8: recall "
+                  f"{matched8p}/{len(golden)}, "
+                  f"{best_total8p/len(imgs):.2f} ms/img (single-image)")
     return results
 
 

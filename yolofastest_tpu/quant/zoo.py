@@ -23,6 +23,11 @@ Shipped recipes (round 4; every int8 backend reads full golden recall —
   selected QAT does NOT work here — the STE trajectory visits each
   backend's full recall at different steps, so selection must be on the
   deployment metric; see tools/search_int8_recipe2.py).
+* ``pruned040 256x320`` (round 5) — HYBRID artifact
+  (``yolofastest_int8_pruned040_256x320.npz``): mse-12 scales +
+  ``keep_fp=('conv2_2',)`` embedded (pure int8 tops out at 33/33/34 on
+  the pruned net; one fp layer restores 34/34/34 on all three backends —
+  ``tools/search_pruned_int8.py``).
 """
 
 from __future__ import annotations
