@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 import struct
-from typing import Iterable, Iterator, List, Sequence, Tuple
+from typing import Iterable, Iterator, List, Tuple
 
 import numpy as np
 
